@@ -1,0 +1,203 @@
+"""Host-side (numpy) construction of padded `HierarchicalGraph` pytrees.
+
+This is the boundary between ragged real-world mesh data and the static-shape
+device world: graphs are batched by concatenation with vertex-offset shifts
+(replacing PyG collation driven by `HierarchicalData.__inc__`,
+/root/reference/utils/data_utils.py:29-42), then padded up to bucket shapes so
+XLA compiles once per bucket rather than once per scene.
+"""
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from stinet_tpu.graph.hierarchy import EdgeSet, GraphLevel, HierarchicalGraph
+
+
+def bucket_size(n: int, multiple: int = 128, geometric: bool = False,
+                ratio: float = 1.25) -> int:
+    """Round `n` up to a bucket shape. With `geometric`, buckets grow by
+    `ratio` steps (bounded recompilation count over arbitrary scene sizes);
+    otherwise round to the next `multiple` (8/128-lane friendly)."""
+    n = max(int(n), 1)
+    if geometric:
+        b = multiple
+        while b < n:
+            b = int(np.ceil(b * ratio / multiple) * multiple)
+        return b
+    return int(-(-n // multiple) * multiple)
+
+
+@dataclasses.dataclass
+class RawHierarchy:
+    """Ragged, host-side (numpy) view of one multi-level graph sample.
+
+    level_edges[l]: [2, E_l] int (row 0 = src/sender, row 1 = dst/receiver),
+    traces[l]: [V_l] -> level l+1 vertex ids (l = 0..L-2),
+    dilated[l]: {dist: [2, E]} extra edge sets (usually only coarsest level).
+    """
+    x: np.ndarray
+    color: np.ndarray
+    mask: np.ndarray
+    num_vertices: List[int]
+    level_edges: List[np.ndarray]
+    traces: List[np.ndarray]
+    dilated: Dict[int, Dict[int, np.ndarray]] = dataclasses.field(
+        default_factory=dict)
+    labels: Optional[np.ndarray] = None
+    name: str = ""
+
+
+def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
+                  v_pad: int) -> EdgeSet:
+    """Sort a [2, E] COO edge array by destination and pad to e_pad with
+    trash self-edges. Precomputes the valid in-degree per (padded) vertex."""
+    src, dst = np.asarray(edges[0]), np.asarray(edges[1])
+    order = np.argsort(dst, kind="stable")
+    src, dst = src[order], dst[order]
+    e = src.shape[0]
+    assert e <= e_pad, f"edge bucket too small: {e} > {e_pad}"
+    pad = e_pad - e
+    src = np.concatenate([src, np.full(pad, trash, dtype=np.int64)])
+    dst = np.concatenate([dst, np.full(pad, trash, dtype=np.int64)])
+    degree = np.bincount(edges[1], minlength=v_pad).astype(np.float32)
+    return EdgeSet(src=src.astype(np.int32), dst=dst.astype(np.int32),
+                   num_edges=np.int32(e), degree=degree)
+
+
+def _concat_features(arrs, widths_like, pad_rows, pad_value=0):
+    a = np.concatenate(arrs, axis=0)
+    if pad_rows > 0:
+        pad_shape = (pad_rows,) + a.shape[1:]
+        a = np.concatenate(
+            [a, np.full(pad_shape, pad_value, dtype=a.dtype)], axis=0)
+    return a
+
+
+def build_hierarchical_graph(
+        samples: Sequence[RawHierarchy],
+        v_buckets: Optional[Sequence[int]] = None,
+        e_buckets: Optional[Sequence[int]] = None,
+        pad_multiple: int = 128,
+        geometric: bool = False) -> HierarchicalGraph:
+    """Batch + pad raw hierarchies into one static-shape HierarchicalGraph.
+
+    Vertex ids of sample g at level l are shifted by the cumulative vertex
+    count of samples 0..g-1 at that level (the `__inc__` contract). Buckets
+    default to rounding the batched totals up to `pad_multiple` (+1 row for
+    the trash vertex).
+    """
+    num_levels = len(samples[0].num_vertices)
+    num_graphs = len(samples)
+
+    # Per-level vertex offsets for each sample in the batch.
+    counts = np.array([[s.num_vertices[l] for s in samples]
+                       for l in range(num_levels)])  # [L, G]
+    offsets = np.concatenate(
+        [np.zeros((num_levels, 1), dtype=np.int64),
+         np.cumsum(counts, axis=1)], axis=1)  # [L, G+1]
+    totals = offsets[:, -1]
+
+    if v_buckets is None:
+        v_buckets = [bucket_size(int(t) + 1, pad_multiple, geometric)
+                     for t in totals]
+    levels = []
+    traces = []
+    for l in range(num_levels):
+        v_pad = int(v_buckets[l])
+        assert v_pad > totals[l], "vertex bucket must exceed valid count"
+        trash = v_pad - 1
+
+        edges = np.concatenate(
+            [s.level_edges[l] + offsets[l, g]
+             for g, s in enumerate(samples)], axis=1)
+        e_pad = (int(e_buckets[l]) if e_buckets is not None
+                 else bucket_size(edges.shape[1], pad_multiple, geometric))
+        edge_set = _pad_edge_set(edges, e_pad, trash, v_pad)
+
+        dil = {}
+        all_dists = sorted({d for s in samples for d in s.dilated.get(l, {})})
+        for dist in all_dists:
+            de = np.concatenate(
+                [s.dilated[l][dist] + offsets[l, g]
+                 for g, s in enumerate(samples)], axis=1)
+            de_pad = bucket_size(de.shape[1], pad_multiple, geometric)
+            dil[int(dist)] = _pad_edge_set(de, de_pad, trash, v_pad)
+
+        graph_id = np.full(v_pad, num_graphs, dtype=np.int32)
+        for g in range(num_graphs):
+            graph_id[offsets[l, g]:offsets[l, g + 1]] = g
+
+        levels.append(GraphLevel(
+            edges=edge_set,
+            num_vertices=np.int32(totals[l]),
+            graph_id=graph_id,
+            dilated=dil,
+        ))
+
+        if l < num_levels - 1:
+            coarse_pad = (int(v_buckets[l + 1]))
+            tr = np.full(v_pad, coarse_pad - 1, dtype=np.int32)
+            for g, s in enumerate(samples):
+                tr[offsets[l, g]:offsets[l, g + 1]] = (
+                    s.traces[l].astype(np.int64) + offsets[l + 1, g])
+            traces.append(tr)
+
+    pad0 = int(v_buckets[0]) - int(totals[0])
+    x = _concat_features([s.x for s in samples], None, pad0)
+    color = _concat_features([s.color for s in samples], None, pad0)
+    mask = _concat_features([s.mask for s in samples], None, pad0)
+    labels = None
+    if samples[0].labels is not None:
+        labels = _concat_features(
+            [s.labels for s in samples], None, pad0).astype(np.int32)
+
+    return HierarchicalGraph(
+        x=x.astype(np.float32), color=color.astype(np.float32),
+        mask=mask.astype(np.float32), levels=tuple(levels),
+        traces=tuple(traces), num_graphs=num_graphs, labels=labels)
+
+
+def batch_hierarchies(samples: Sequence[RawHierarchy], **kw):
+    return build_hierarchical_graph(samples, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Synthetic grid-graph hierarchy for the 2D image-inpainting workload.
+# Semantics follow the reference's fake hierarchy: 4-connected grid edges per
+# level and 2x2 nearest-upsample traces with decimation factor 2
+# (/root/reference/datasets/imagegraph_dataloader.py:44-108), but built
+# vectorized instead of with python loops over pixels.
+# ---------------------------------------------------------------------------
+
+def grid_edges(n: int) -> np.ndarray:
+    """Directed 4-neighborhood edges of an n x n grid, [2, E] (both
+    directions present, no self loops)."""
+    idx = np.arange(n * n).reshape(n, n)
+    h = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()])   # left->right
+    v = np.stack([idx[:-1, :].ravel(), idx[1:, :].ravel()])   # up->down
+    und = np.concatenate([h, v], axis=1)
+    return np.concatenate([und, und[::-1]], axis=1)
+
+
+def grid_trace(coarse_n: int, decimation: int = 2) -> np.ndarray:
+    """Fine vertex -> coarse vertex map by 2x2 block replication."""
+    tr = np.arange(coarse_n * coarse_n).reshape(coarse_n, coarse_n)
+    tr = np.repeat(np.repeat(tr, decimation, axis=1), decimation, axis=0)
+    return tr.reshape(-1).astype(np.int64)
+
+
+_GRID_CACHE: Dict[Tuple[int, int], Tuple[list, list, list]] = {}
+
+
+def grid_hierarchy(img_size: int, end_level: int, decimation: int = 2):
+    """(num_vertices, level_edges, traces) for an image-as-graph hierarchy."""
+    key = (img_size, end_level)
+    if key not in _GRID_CACHE:
+        sizes = [img_size // (decimation ** l) for l in range(end_level)]
+        nv = [s * s for s in sizes]
+        edges = [grid_edges(s) for s in sizes]
+        trs = [grid_trace(sizes[l + 1], decimation)
+               for l in range(end_level - 1)]
+        _GRID_CACHE[key] = (nv, edges, trs)
+    return _GRID_CACHE[key]

@@ -1,0 +1,104 @@
+"""The hot op of the framework: EdgeConv-style message passing, TPU-first.
+
+Reference semantics (NOT the reference implementation): PyG EdgeConv with an
+inner MLP `Seq(Lin(2C->2H), ReLU, Lin(2H->H))` and mean aggregation
+(/root/reference/models/modules/edge_conv_filter.py:46-57), messages
+`nn([x_i, x_j - x_i])` aggregated at the receiver i, plus the
+translation-invariant first-layer variant `nn([x_j - x_i])`
+(/root/reference/models/modules/edge_conv_translation_invariance.py:19-21).
+
+TPU-native refactor
+-------------------
+Writing Lin1's weight as [W_i; W_d] (receiver block, difference block):
+
+    Lin1([x_i, x_j - x_i]) = x_i W_i + (x_j - x_i) W_d + b
+                           = x_i (W_i - W_d) + x_j W_d + b
+                           =: P[i] + Q[j]         (P absorbs the bias)
+
+and Lin2 commutes with the mean, so
+
+    EdgeConv(x)_i = Lin2( mean_{j in N(i)} relu(P[i] + Q[j]) )
+
+P and Q are *dense per-vertex matmuls* ([V, C] x [C, 2H]) that run on the MXU
+at full tilt; the only per-edge work is gather + add + relu + segment-mean —
+pure VPU/bandwidth work handled here. The same kernel serves the
+translation-invariant variant with P = -xW + b, Q = xW. FLOPs scale with V,
+not E (the reference pays the 2C->2H matmul once per *edge*).
+
+This module implements only the per-edge part; the dense matmuls live in the
+Flax modules (stinet_tpu/models/stinet.py).
+"""
+import jax
+import jax.numpy as jnp
+
+from stinet_tpu.ops.segment import segment_mean, segment_max, segment_sum, segment_count
+
+
+def length_mask(n, size, dtype=jnp.float32):
+    """[size] mask: 1.0 for rows < n (valid), 0.0 for pad rows."""
+    return (jax.lax.broadcasted_iota(jnp.int32, (size,), 0) < n).astype(dtype)
+
+
+def gather_edge_features(x, idx):
+    """x[idx] — per-edge gather of vertex rows; kept as a named op so the
+    Pallas replacement can slot in without touching model code. Graph
+    builders guarantee in-bounds indices, so skip XLA's OOB masking."""
+    return jnp.take(x, idx, axis=0, mode="promise_in_bounds")
+
+
+def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
+                        activation=jax.nn.relu, indices_are_sorted=True,
+                        degree=None):
+    """out[i] = reduce_{e: dst[e]==i} activation(p[dst[e]] + q[src[e]]).
+
+    p, q: [V_pad, H] precomputed per-vertex projections (see module docstring).
+    src, dst: [E_pad] int32, sorted by dst; pad edges point both ends at a pad
+        vertex so their messages land in pad rows and never contaminate valid
+        output (graph builders guarantee this, stinet_tpu/graph/build.py).
+    degree: optional [V_pad] precomputed valid in-degree (for aggr='mean');
+        computed from dst when omitted.
+    """
+    m = activation(gather_edge_features(p, dst) + gather_edge_features(q, src))
+    if aggr == "mean":
+        return segment_mean(m, dst, num_segments,
+                            indices_are_sorted=indices_are_sorted,
+                            counts=degree)
+    if aggr == "max":
+        return segment_max(m, dst, num_segments,
+                           indices_are_sorted=indices_are_sorted)
+    if aggr in ("sum", "add"):
+        return segment_sum(m, dst, num_segments,
+                           indices_are_sorted=indices_are_sorted)
+    raise ValueError(f"Unknown aggregation {aggr!r}")
+
+
+def neighbor_aggregate(x, src, dst, num_segments, aggr="mean",
+                       indices_are_sorted=True, degree=None):
+    """out[i] = reduce_{e: dst[e]==i} x[src[e]] — plain neighborhood
+    aggregation (used by the SAGEConv filter family and metrics)."""
+    m = gather_edge_features(x, src)
+    if aggr == "mean":
+        return segment_mean(m, dst, num_segments,
+                            indices_are_sorted=indices_are_sorted,
+                            counts=degree)
+    if aggr == "max":
+        return segment_max(m, dst, num_segments,
+                           indices_are_sorted=indices_are_sorted)
+    if aggr in ("sum", "add"):
+        return segment_sum(m, dst, num_segments,
+                           indices_are_sorted=indices_are_sorted)
+    raise ValueError(f"Unknown aggregation {aggr!r}")
+
+
+def graph_laplacian(x, src, dst, num_segments, indices_are_sorted=True):
+    """L(x)_i = sum_{j in N(i)} x_j - deg(i) * x_i.
+
+    Parity with the reference's GraphLaplaceOperator
+    (/root/reference/utils/metrics/graph_metrics.py:6-16) which sums an
+    all-ones channel to obtain the degree.
+    """
+    s = segment_sum(gather_edge_features(x, src), dst, num_segments,
+                    indices_are_sorted=indices_are_sorted)
+    deg = segment_count(dst, num_segments,
+                        indices_are_sorted=indices_are_sorted, dtype=x.dtype)
+    return s - deg[:, None] * x

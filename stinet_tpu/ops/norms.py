@@ -1,0 +1,68 @@
+"""Masked per-graph normalization primitives.
+
+The reference's FastInstanceNorm and SingleBatchGraphNorm
+(/root/reference/models/modules/fastinstancenorm.py:53,
+ singlebatchgroupnorm.py:54-70) rely on a *contiguity hack* — they assume all
+graphs in a batch are equal-sized and contiguous (`batch_ptr = linspace`).
+Here the batched, padded representation makes that honest: statistics are
+segment reductions over an explicit per-vertex `graph_id`, with pad rows
+excluded via `valid_mask`. For the equal-size batches the reference supports,
+results agree; these also work for ragged batches.
+
+All variances are biased (divide by N), matching torch.nn.functional
+.instance_norm and the reference's `var = sumsq / norm`.
+"""
+import jax.numpy as jnp
+
+from stinet_tpu.ops.segment import segment_sum
+
+
+
+
+def _per_graph_mean(x, graph_id, num_graphs, valid_mask):
+    """Masked per-graph mean and count. x: [V, C] -> ([G, C], [G, 1])."""
+    w = valid_mask.astype(x.dtype)[:, None]
+    s = segment_sum(x * w, graph_id, num_graphs)
+    n = segment_sum(w, graph_id, num_graphs)
+    return s / jnp.maximum(n, 1.0), n
+
+
+def masked_instance_norm(x, graph_id, num_graphs, valid_mask, eps=1e-5):
+    """Per-graph, per-channel standardization (InstanceNorm semantics,
+    affine=False as in the reference's default FastInstanceNorm config,
+    fastinstancenorm.py:37-40). Pad rows are zeroed on output."""
+    w = valid_mask.astype(x.dtype)[:, None]
+    mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
+    centered = (x - jnp.take(mean, graph_id, axis=0, mode='clip')) * w
+    var = segment_sum(centered * centered, graph_id, num_graphs) / jnp.maximum(n, 1.0)
+    inv = (var + eps) ** -0.5
+    return centered * jnp.take(inv, graph_id, axis=0, mode='clip')
+
+
+def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
+                      mean_scale, eps=1e-5):
+    """GraphNorm (arXiv:2009.03294) with learned mean scale α:
+    out = γ * (x - α·E[x]) / sqrt(E[(x - α·E[x])²] + eps) + β.
+
+    Matches SingleBatchGraphNorm (singlebatchgroupnorm.py:46-71) with honest
+    per-graph segments instead of the equal-size shortcut. Note the variance
+    is the *uncentered* second moment of (x - α·mean), as in the reference.
+    """
+    w = valid_mask.astype(x.dtype)[:, None]
+    mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
+    out = (x - jnp.take(mean, graph_id, axis=0, mode='clip') * mean_scale) * w
+    var = segment_sum(out * out, graph_id, num_graphs) / jnp.maximum(n, 1.0)
+    std_inv = (var + eps) ** -0.5
+    out = out * jnp.take(std_inv, graph_id, axis=0, mode='clip')
+    return (weight * out + bias) * w
+
+
+def masked_batch_norm_stats(x, valid_mask):
+    """Masked mean/biased-variance over all valid rows (PyG BatchNorm
+    normalizes over the full node dimension). Returns (mean [C], var [C])."""
+    w = valid_mask.astype(x.dtype)[:, None]
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(x * w, axis=0) / n
+    centered = (x - mean) * w
+    var = jnp.sum(centered * centered, axis=0) / n
+    return mean, var
