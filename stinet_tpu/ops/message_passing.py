@@ -43,7 +43,7 @@ def gather_edge_features(x, idx):
     """x[idx] — per-edge gather of vertex rows; kept as a named op so the
     Pallas replacement can slot in without touching model code. Graph
     builders guarantee in-bounds indices, so skip XLA's OOB masking."""
-    return jnp.take(x, idx, axis=0, mode="promise_in_bounds")
+    return x.at[idx].get(mode="promise_in_bounds")
 
 
 def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
