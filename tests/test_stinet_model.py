@@ -1,0 +1,199 @@
+"""Golden parity test: the TPU-native STINet vs a dense numpy oracle that
+implements the reference forward semantics literally (per-edge concat MLP
+messages, per-graph instance norm, trace pool / gather unpool, ELU residual
+blocks, Linear->norm->ELU->Linear->Tanh head;
+/root/reference/models/surfacetextureinpaintingnet.py:398-471)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stinet_tpu.graph import build_hierarchical_graph, grid_hierarchy
+from stinet_tpu.graph.build import RawHierarchy
+from stinet_tpu.models.stinet import SurfaceTextureInpaintingNet
+
+CFG = dict(input_nc=4, output_nc=3, ngf=8, filter_type="edgeconv",
+           norm="instance", n_blocks=2, n_levels=2, n_repeated_io_convs=1,
+           pooling_type="max", dilations=[1, 1], remat_io_blocks=False)
+
+
+def make_sample(rng, img=16, levels=3, c=4, name="s"):
+    nv, edges, traces = grid_hierarchy(img, levels)
+    return RawHierarchy(
+        x=rng.normal(size=(nv[0], c)).astype(np.float32),
+        color=rng.normal(size=(nv[0], 3)).astype(np.float32),
+        mask=np.zeros((nv[0], 1), np.float32),
+        num_vertices=list(nv), level_edges=list(edges), traces=list(traces),
+        name=name)
+
+
+# ------------------------- dense numpy oracle -----------------------------
+
+def np_edgeconv(x, edges, p, trans_inv=False):
+    src, dst = edges
+    xi, xj = x[dst], x[src]
+    feat = (xj - xi) if trans_inv else np.concatenate([xi, xj - xi], axis=1)
+    m = np.maximum(feat @ p["first_filter"]["lin1_kernel"]
+                   + p["first_filter"]["lin1_bias"], 0.0)
+    agg = np.zeros((x.shape[0], m.shape[1]), np.float64)
+    cnt = np.zeros(x.shape[0])
+    np.add.at(agg, dst, m)
+    np.add.at(cnt, dst, 1.0)
+    agg /= np.maximum(cnt, 1)[:, None]
+    return agg @ p["first_filter"]["lin2"]["kernel"] + p["first_filter"]["lin2"]["bias"]
+
+
+def np_instance_norm(x, graph_sizes, eps=1e-5):
+    out = np.empty_like(x)
+    start = 0
+    for n in graph_sizes:
+        blk = x[start:start + n]
+        mean = blk.mean(0)
+        var = ((blk - mean) ** 2).mean(0)
+        out[start:start + n] = (blk - mean) / np.sqrt(var + eps)
+        start += n
+    return out
+
+
+def np_elu(x):
+    return np.where(x > 0, x, np.expm1(x))
+
+
+def np_block(x, edges, p, graph_sizes, trans_inv=False):
+    out = np_edgeconv(x, edges, p, trans_inv)
+    out = np_instance_norm(out, graph_sizes)
+    out = np_elu(out)
+    if "shortcut" in p:
+        x = x @ p["shortcut"]["kernel"] + p["shortcut"]["bias"]
+    return x + out
+
+
+def np_stinet_forward(params, samples, cfg):
+    """Oracle forward over the batch of raw (unpadded) samples."""
+    L = cfg["n_levels"]
+    # Batch by concatenation with offsets, exactly like PyG collation.
+    nv = [[s.num_vertices[l] for s in samples] for l in range(L + 1)]
+    offs = [np.concatenate([[0], np.cumsum(v)]) for v in nv]
+    x = np.concatenate([s.x for s in samples]).astype(np.float64)
+    edges = []
+    traces = []
+    for l in range(L + 1):
+        e = np.concatenate([s.level_edges[l] + offs[l][g]
+                            for g, s in enumerate(samples)], axis=1)
+        edges.append((e[0], e[1]))
+        if l < L:
+            traces.append(np.concatenate(
+                [s.traces[l] + offs[l + 1][g]
+                 for g, s in enumerate(samples)]))
+
+    p = params
+    out = np_block(x, edges[0], p["input_block_0"], nv[0],
+                   trans_inv=cfg["filter_type"].endswith("transinv"))
+    skipped = []
+    for i in range(L):
+        tr = traces[i]
+        pooled = np.full((offs[i + 1][-1], out.shape[1]), -np.inf)
+        np.maximum.at(pooled, tr, out)
+        pooled[np.isinf(pooled)] = 0.0
+        out = np_block(pooled, edges[i + 1], p[f"encoder_block_{i}"], nv[i + 1])
+    for i in range(cfg["n_blocks"]):
+        out = np_block(out, edges[L], p[f"bottleneck_block_{i}"], nv[L])
+    for i in range(L):
+        fine = L - i - 1
+        out = out[traces[fine]]
+        out = np_block(out, edges[fine], p[f"decoder_block_{i}"], nv[fine])
+    out = np_block(out, edges[0], p["output_block_0"], nv[0])
+    out = out @ p["final_linear1"]["kernel"] + p["final_linear1"]["bias"]
+    out = np_instance_norm(out, nv[0])
+    out = np_elu(out)
+    out = out @ p["final_linear2"]["kernel"] + p["final_linear2"]["bias"]
+    return np.tanh(out)
+
+
+def to_np(tree):
+    return jax.tree.map(lambda a: np.asarray(a, np.float64), tree)
+
+
+@pytest.mark.parametrize("batch", [1, 2])
+def test_stinet_matches_dense_oracle(rng, batch):
+    """fp32 run vs float64 oracle: tolerance accounts for fp32 accumulation
+    drift amplified by 8 stacked instance norms (exact parity is asserted in
+    test_stinet_exact_parity_f64)."""
+    samples = [make_sample(rng, name=f"s{i}") for i in range(batch)]
+    g = build_hierarchical_graph(samples)
+    model = SurfaceTextureInpaintingNet(**CFG)
+    params = model.init(jax.random.key(0), g)["params"]
+    got = np.asarray(model.apply({"params": params}, g))
+
+    want = np_stinet_forward(to_np(params), samples, CFG)
+    n_valid = int(g.levels[0].num_vertices)
+    # fp32 self-drift vs f64 measures at ~0.057 max / 0.0065 mean on this
+    # config (instance norms over near-zero-variance channels amplify);
+    # semantic exactness is asserted by test_stinet_exact_parity_f64.
+    d = np.abs(got[:n_valid] - want)
+    assert d.max() < 0.15 and d.mean() < 0.02, (d.max(), d.mean())
+
+
+def test_stinet_exact_parity_f64(rng):
+    """Bit-level semantic parity: in float64 the TPU-native decomposition must
+    match the dense oracle to ~1e-12."""
+    with jax.enable_x64(True):
+        samples = [make_sample(rng, name="s0")]
+        g = build_hierarchical_graph(samples)
+        g = jax.tree.map(
+            lambda a: a.astype(np.float64)
+            if hasattr(a, "dtype") and a.dtype == np.float32 else a, g)
+        model = SurfaceTextureInpaintingNet(**CFG)
+        params = model.init(jax.random.key(0), g)["params"]
+        got = np.asarray(model.apply({"params": params}, g))
+        want = np_stinet_forward(to_np(params), samples, CFG)
+        n = int(g.levels[0].num_vertices)
+        np.testing.assert_allclose(got[:n], want, rtol=1e-10, atol=1e-12)
+
+
+def test_stinet_pad_invariance(rng):
+    """Same graph, different bucket sizes -> identical valid outputs."""
+    s = make_sample(rng)
+    g1 = build_hierarchical_graph([s])
+    g2 = build_hierarchical_graph([s], v_buckets=[512, 256, 256],
+                                  e_buckets=[4096, 2048, 1024])
+    model = SurfaceTextureInpaintingNet(**CFG)
+    params = model.init(jax.random.key(0), g1)["params"]
+    o1 = np.asarray(model.apply({"params": params}, g1))
+    o2 = np.asarray(model.apply({"params": params}, g2))
+    n = int(g1.levels[0].num_vertices)
+    np.testing.assert_allclose(o1[:n], o2[:n], rtol=1e-5, atol=1e-6)
+
+
+def test_stinet_remat_matches(rng):
+    s = make_sample(rng)
+    g = build_hierarchical_graph([s])
+    base = SurfaceTextureInpaintingNet(**CFG)
+    remat = SurfaceTextureInpaintingNet(
+        **{**CFG, "remat_io_blocks": True, "checkpoint_bottleneck": True})
+    params = base.init(jax.random.key(0), g)["params"]
+    o1 = np.asarray(base.apply({"params": params}, g))
+    o2 = np.asarray(remat.apply({"params": params}, g))
+    np.testing.assert_allclose(o1, o2, rtol=1e-5, atol=1e-6)
+
+    def loss(p, m):
+        return jnp.mean(m.apply({"params": p}, g) ** 2)
+
+    g1 = jax.grad(loss)(params, base)
+    g2 = jax.grad(loss)(params, remat)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_stinet_transinv_and_mean_pool(rng):
+    cfg = {**CFG, "filter_type": "edgeconvtransinv", "pooling_type": "max"}
+    s = make_sample(rng)
+    g = build_hierarchical_graph([s])
+    model = SurfaceTextureInpaintingNet(**cfg)
+    params = model.init(jax.random.key(0), g)["params"]
+    got = np.asarray(model.apply({"params": params}, g))
+    want = np_stinet_forward(to_np(params), [s], cfg)
+    n = int(g.levels[0].num_vertices)
+    d = np.abs(got[:n] - want)
+    assert d.max() < 0.15 and d.mean() < 0.02, (d.max(), d.mean())
