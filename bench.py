@@ -1,0 +1,172 @@
+"""Benchmark: STINet 3D scene inference throughput (vertices/sec/chip).
+
+North star (BASELINE.md): >=10x PyTorch-CPU vertices/sec on one TPU chip with
+PSNR parity. This script times
+  * the TPU-native JAX STINet (flagship 3D config: edgeconvtransinv, ngf 64,
+    9 dilated bottleneck blocks, 2 pooling levels) on the attached device, and
+  * a PyTorch-CPU implementation of the same network semantics (per-edge
+    concat-MLP EdgeConv via index_select/index_add, per-graph instance norm,
+    trace pooling), standing in for the reference's torch-geometric CPU path,
+on the same synthetic ScanNet-scale scene, then prints ONE JSON line.
+
+Env knobs: BENCH_V (vertices, default 65536), BENCH_ITERS, BENCH_CPU_ITERS.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+V = int(os.environ.get("BENCH_V", 65536))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 2))
+NGF = 64
+N_BLOCKS = 9
+DILATIONS = [1, 1, 1, 2, 4, 8, 16, 1, 1]
+
+
+def build_scene():
+    from stinet_tpu.utils.synthetic import synthetic_scene
+    return synthetic_scene(num_vertices=V, levels=3, seed=0,
+                           dilation_dists=(2, 4, 8, 16))
+
+
+def bench_tpu(scene):
+    import jax
+    from stinet_tpu.graph.build import build_hierarchical_graph
+    from stinet_tpu.models.factory import define_G
+
+    graph = build_hierarchical_graph([scene])
+    model = define_G(input_nc=10, output_nc=3, ngf=NGF, n_blocks=N_BLOCKS,
+                     dilations=DILATIONS, norm="instance", pooling_type="max",
+                     n_levels=2, n_repeated_io_convs=1,
+                     filter_type="edgeconvtransinv")
+    params = model.init(jax.random.key(0), graph)["params"]
+
+    @jax.jit
+    def fwd(params, graph):
+        return model.apply({"params": params}, graph)
+
+    out = fwd(params, graph)
+    jax.block_until_ready(out)  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = fwd(params, graph)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / ITERS
+    return V / dt, dt, jax.devices()[0].platform
+
+
+def bench_torch_cpu(scene):
+    """Reference-semantics STINet forward in pure torch (CPU)."""
+    import torch
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    nv = scene.num_vertices
+    edges = [torch.from_numpy(e.astype(np.int64)) for e in scene.level_edges]
+    traces = [torch.from_numpy(t.astype(np.int64)) for t in scene.traces]
+    dil = {d: torch.from_numpy(e.astype(np.int64))
+           for d, e in scene.dilated[2].items()}
+    x0 = torch.from_numpy(scene.x)
+
+    def edgeconv(x, e, w1, b1, w2, b2, trans_inv):
+        src, dst = e[0], e[1]
+        xi = x.index_select(0, dst)
+        xj = x.index_select(0, src)
+        feat = (xj - xi) if trans_inv else torch.cat([xi, xj - xi], dim=1)
+        m = torch.relu(feat @ w1 + b1) @ w2 + b2
+        out = torch.zeros((x.shape[0], m.shape[1]), dtype=m.dtype)
+        out.index_add_(0, dst, m)
+        deg = torch.zeros(x.shape[0], dtype=m.dtype)
+        deg.index_add_(0, dst, torch.ones(len(dst)))
+        return out / deg.clamp(min=1).unsqueeze(1)
+
+    def inst_norm(x):
+        return (x - x.mean(0)) / torch.sqrt(x.var(0, unbiased=False) + 1e-5)
+
+    def block(x, e, p, trans_inv=False):
+        out = torch.nn.functional.elu(
+            inst_norm(edgeconv(x, e, *p[:4], trans_inv)))
+        if len(p) > 4:
+            x = x @ p[4] + p[5]
+        return x + out
+
+    g = torch.Generator().manual_seed(0)
+
+    def mk(ci, co, shortcut, trans_inv=False):
+        h = 2 * co
+        w1 = torch.randn((ci if trans_inv else 2 * ci, h), generator=g) * 0.05
+        w2 = torch.randn((h, co), generator=g) * 0.05
+        p = [w1, torch.zeros(h), w2, torch.zeros(co)]
+        if shortcut:
+            p += [torch.randn((ci, co), generator=g) * 0.05, torch.zeros(co)]
+        return p
+
+    blocks = {
+        "in": mk(10, NGF, True, True),
+        "enc0": mk(NGF, NGF * 2, True),
+        "enc1": mk(NGF * 2, NGF * 4, True),
+        "bott": [mk(NGF * 4, NGF * 4, False) for _ in range(N_BLOCKS)],
+        "dec0": mk(NGF * 4, NGF * 2, True),
+        "dec1": mk(NGF * 2, NGF, True),
+        "out": mk(NGF, NGF, False),
+        "fin1": (torch.randn((NGF, NGF), generator=g) * 0.05,
+                 torch.zeros(NGF)),
+        "fin2": (torch.randn((NGF, 3), generator=g) * 0.05, torch.zeros(3)),
+    }
+
+    def pool_max(x, tr, n_coarse):
+        out = torch.full((n_coarse, x.shape[1]), -torch.inf, dtype=x.dtype)
+        out.scatter_reduce_(0, tr.unsqueeze(1).expand_as(x), x, reduce="amax")
+        out[torch.isinf(out)] = 0
+        return out
+
+    def forward():
+        out = block(x0, edges[0], blocks["in"], trans_inv=True)
+        out = pool_max(out, traces[0], nv[1])
+        out = block(out, edges[1], blocks["enc0"])
+        out = pool_max(out, traces[1], nv[2])
+        out = block(out, edges[2], blocks["enc1"])
+        for i in range(N_BLOCKS):
+            d = DILATIONS[i]
+            e = dil[d] if d > 1 else edges[2]
+            out = block(out, e, blocks["bott"][i])
+        out = out[traces[1]]
+        out = block(out, edges[1], blocks["dec0"])
+        out = out[traces[0]]
+        out = block(out, edges[0], blocks["dec1"])
+        out = block(out, edges[0], blocks["out"])
+        out = out @ blocks["fin1"][0] + blocks["fin1"][1]
+        out = torch.nn.functional.elu(inst_norm(out))
+        out = out @ blocks["fin2"][0] + blocks["fin2"][1]
+        return torch.tanh(out)
+
+    with torch.no_grad():
+        forward()  # warmup
+        t0 = time.perf_counter()
+        for _ in range(CPU_ITERS):
+            forward()
+        dt = (time.perf_counter() - t0) / CPU_ITERS
+    return V / dt, dt
+
+
+def main():
+    scene = build_scene()
+    tpu_vps, tpu_dt, platform = bench_tpu(scene)
+    cpu_vps, cpu_dt = bench_torch_cpu(scene)
+    print(json.dumps({
+        "metric": "stinet3d_inference_vertices_per_sec_per_chip",
+        "value": round(tpu_vps, 1),
+        "unit": "vertices/s",
+        "vs_baseline": round(tpu_vps / cpu_vps, 2),
+        "detail": {
+            "V": V, "platform": platform,
+            "tpu_ms_per_scene": round(tpu_dt * 1e3, 2),
+            "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
+            "torch_cpu_vertices_per_sec": round(cpu_vps, 1),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,7 +43,7 @@ def synth_texture(rng: np.random.Generator, size: int = 256) -> np.ndarray:
         col = rng.uniform(0, 1, 3)
         img += np.sin(2 * np.pi * (fx * xx + ph[0]))[..., None] * \
             np.cos(2 * np.pi * (fy * yy + ph[1]))[..., None] * col
-    img = (img - img.min()) / (img.ptp() + 1e-8)
+    img = (img - img.min()) / (np.ptp(img) + 1e-8)
     return (img * 255).astype(np.uint8)
 
 

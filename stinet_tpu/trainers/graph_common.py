@@ -1,0 +1,156 @@
+"""Shared machinery for jitted graph-model training: optimizer construction
+with torch-compatible semantics, the train/eval step factories, and metric
+computation — one compiled program per graph size bucket.
+
+Optimizer parity notes: torch Adam(amsgrad=True, weight_decay=w) adds w*param
+to the gradient *before* the moment updates, so add_decayed_weights precedes
+scale_by_amsgrad. StepLR steps once per epoch (reference
+inpainting3d_trainer.py:199-201); the learning rate enters the jitted step as
+a scalar argument, so epoch-level LR changes never retrigger compilation.
+Gradient accumulation uses optax.MultiSteps (mean-of-grads == the reference's
+sum of loss/k backward passes, inpainting3d_trainer.py:170-177).
+"""
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from stinet_tpu.metrics import graph_metrics as gm
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    batch_stats: Any = None
+
+
+def build_optimizer(opt_config: Dict, num_accum: int = 1):
+    """optax chain from the reference's config['optimizer'] block."""
+    args = dict(opt_config.get("args", {}))
+    opt_type = opt_config.get("type", "Adam")
+    wd = float(args.get("weight_decay", 0.0) or 0.0)
+    b1 = args.get("betas", (0.9, 0.999))[0] if "betas" in args else 0.9
+    b2 = args.get("betas", (0.9, 0.999))[1] if "betas" in args else 0.999
+    eps = float(args.get("eps", 1e-8))
+
+    parts = []
+    if wd:
+        parts.append(optax.add_decayed_weights(wd))
+    if opt_type == "Adam":
+        if args.get("amsgrad", False):
+            parts.append(optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps))
+        else:
+            parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    elif opt_type == "SGD":
+        mom = float(args.get("momentum", 0.0) or 0.0)
+        if mom:
+            parts.append(optax.trace(decay=mom,
+                                     nesterov=args.get("nesterov", False)))
+    else:
+        raise NotImplementedError(f"optimizer {opt_type!r}")
+    parts.append(optax.scale(-1.0))  # lr multiplies updates in the step
+    tx = optax.chain(*parts)
+    if num_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=num_accum)
+    return tx, float(args.get("lr", 1e-3))
+
+
+def step_lr(base_lr: float, scheduler_config: Dict):
+    """Epoch -> lr. StepLR parity: lr * gamma^(epoch // step_size)."""
+    typ = scheduler_config.get("type", "StepLR")
+    args = scheduler_config.get("args", {})
+    if typ == "StepLR":
+        step_size = int(args.get("step_size", 10**9))
+        gamma = float(args.get("gamma", 1.0))
+        return lambda epoch: base_lr * gamma ** ((epoch - 1) // step_size)
+    if typ in ("ConstantLR", "None", None):
+        return lambda epoch: base_lr
+    if typ == "ExponentialLR":
+        gamma = float(args.get("gamma", 1.0))
+        return lambda epoch: base_lr * gamma ** (epoch - 1)
+    raise NotImplementedError(f"lr scheduler {typ!r}")
+
+
+def inpainting_loss(output, color, mask, vmask, use_mask_weighted):
+    """Masked-composite L1: predictions replace colors only inside the mask
+    (reference _graph_forward + compute_loss, inpainting3d_trainer.py:127-137)
+    with the optional 0.99^mask distance weighting; mean over valid
+    vertices x channels."""
+    composite = jnp.where(mask > 0, output, color)
+    per = jnp.abs(composite - color)
+    if use_mask_weighted:
+        per = per * jnp.power(0.99, mask)
+    per = per * vmask[:, None]
+    n = jnp.maximum(jnp.sum(vmask) * color.shape[-1], 1.0)
+    return jnp.sum(per) / n, composite
+
+
+def inpainting_metrics(composite, graph, loss):
+    lvl0 = graph.levels[0]
+    vmask = lvl0.vertex_mask()
+    region = (graph.mask[:, 0] > 0).astype(jnp.float32)
+    return {
+        "loss": loss,
+        "l1": gm.l1(composite, graph.color, vmask),
+        "mse": gm.mse(composite, graph.color, vmask),
+        "graph_tv": gm.graph_total_variation(
+            composite, lvl0.edges, lvl0.num_vertices),
+        "graph_lap_var": gm.graph_laplace_variance(
+            composite, lvl0.edges, lvl0.num_vertices),
+        "psnr": gm.psnr(composite, graph.color, vmask, data_range=2.0),
+        "psnr_mask_only": gm.masked_psnr(
+            composite, graph.color, vmask, region, data_range=2.0),
+    }
+
+
+def make_inpainting_steps(model, tx, use_mask_weighted, has_batch_stats=False):
+    """Returns (train_step, eval_step), both jit-compiled."""
+
+    def forward(state, graph, train):
+        variables = {"params": state.params}
+        if has_batch_stats:
+            variables["batch_stats"] = state.batch_stats
+            if train:
+                out, updates = model.apply(
+                    variables, graph, train=True, mutable=["batch_stats"])
+                return out, updates["batch_stats"]
+            return model.apply(variables, graph, train=False), \
+                state.batch_stats
+        return model.apply(variables, graph, train=train), None
+
+    def train_step(state, graph, lr):
+        vmask = graph.levels[0].vertex_mask()
+
+        def loss_fn(params):
+            st = state.replace(params=params)
+            out, new_bs = forward(st, graph, True)
+            loss, composite = inpainting_loss(
+                out, graph.color, graph.mask, vmask, use_mask_weighted)
+            return loss, (composite, new_bs)
+
+        (loss, (composite, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1, batch_stats=new_bs)
+        return new_state, inpainting_metrics(composite, graph, loss)
+
+    def eval_step(state, graph):
+        vmask = graph.levels[0].vertex_mask()
+        out, _ = forward(state, graph, False)
+        loss, composite = inpainting_loss(
+            out, graph.color, graph.mask, vmask, use_mask_weighted)
+        return inpainting_metrics(composite, graph, loss), composite
+
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+
+def host_metrics(metrics) -> Dict[str, float]:
+    return {k: float(np.asarray(v)) for k, v in metrics.items()}

@@ -1,0 +1,328 @@
+"""Inpainting2DTrainer — 2D texture image inpainting over image-as-grid
+graphs, with the conventional conv2d baseline on the same data.
+
+Capability parity with /root/reference/trainers/inpainting2d_trainer.py:
+mutually-exclusive graph (STINet) vs 2d (Resnet2D) branches selected by the
+enabled archs, masked-composite L1 (+optional total-variation) losses, and
+for the 2d branch an optional conditional PatchGAN (prior = masked image +
+mask, D/G alternation with lsgan/vanilla losses). Metrics: loss/l1/mse/psnr
+per batch. VGG-perceptual and FID epoch metrics are provided by
+stinet_tpu.models.losses / stinet_tpu.metrics.fid when pretrained weights are
+available (weights are torch-converted offline; see models/losses.py)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stinet_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+from stinet_tpu.core.registry import TRAINERS, DATALOADERS
+from stinet_tpu.metrics import MetricTracker
+from stinet_tpu.metrics import graph_metrics as gm
+from stinet_tpu.models.factory import define_G, define_D, count_parameters
+from stinet_tpu.models.gan_networks import gan_loss
+from stinet_tpu.models.losses import total_variation_loss
+from stinet_tpu.trainers.base import BaseTrainer
+from stinet_tpu.trainers.graph_common import (
+    TrainState, build_optimizer, step_lr, make_inpainting_steps, host_metrics)
+
+
+@TRAINERS.register("Inpainting2DTrainer")
+class Inpainting2DTrainer(BaseTrainer):
+    def __init__(self, config):
+        super().__init__(config)
+        logger = config.get_logger("train")
+        archs = config["archs"]
+        graph_enabled = archs.get("SurfaceTextureInpaintingNet",
+                                  {}).get("enabled", False)
+        conv_enabled = archs.get("Resnet2D", {}).get("enabled", False)
+        assert graph_enabled != conv_enabled, \
+            "Exactly one of SurfaceTextureInpaintingNet/Resnet2D must be enabled"
+        self.branch = "graph" if graph_enabled else "2d"
+
+        self.data_loader = config.init_obj_with_config(
+            "data_loader", DATALOADERS)
+        self.img_size = config["data_loader"]["args"]["img_size"]
+
+        tcfg = config["trainer"]
+        self.use_gan = tcfg.get("use_gan", False) and self.branch == "2d"
+        self.gan_mode = tcfg.get("gan_mode", "lsgan")
+        self.gan_loss_weight = tcfg.get("gan_loss_weight", 1e-3)
+        self.use_total_variation = tcfg.get("use_total_variation", False)
+        self.total_variation_weight = tcfg.get("total_variation_weight", 1e-4)
+        self.do_validation = tcfg.get("do_validation", True)
+        self.batches_per_log = tcfg.get("batches_per_log", 1)
+
+        dl_args = config["data_loader"]["args"]
+        self.num_accum = int(dl_args.get("num_cumulated_train_batches", 1))
+        seed = config.get("seed", 123) or 123
+
+        arch_key = ("SurfaceTextureInpaintingNet" if self.branch == "graph"
+                    else "Resnet2D")
+        self.model = define_G(**archs[arch_key]["args"])
+        self.tx, self.base_lr = build_optimizer(
+            config["optimizer"], self.num_accum)
+        self.lr_fn = step_lr(self.base_lr, config.get("lr_scheduler", {}))
+
+        example = self._example_graph()
+        key = jax.random.key(seed)
+        if self.branch == "graph":
+            params = self.model.init(key, example)["params"]
+            self._train_step, self._eval_step = make_inpainting_steps(
+                self.model, self.tx, use_mask_weighted=False)
+        else:
+            n = example.num_graphs * self.img_size * self.img_size
+            img = self._to_images(example.x[:n])
+            params = self.model.init(key, img)["params"]
+            self._train_step, self._eval_step = self._make_2d_steps()
+        logger.info("Number of parameters in %s: %d", self.branch,
+                    count_parameters(params))
+        self.state = TrainState(params=params, opt_state=self.tx.init(params),
+                                step=jnp.zeros((), jnp.int32))
+
+        self.disc_state = None
+        if self.use_gan:
+            self.disc = define_D(input_nc=1 + 3 + 3,
+                                 ndf=tcfg.get("ndf", 64), netD="n_layers",
+                                 n_layers_D=tcfg.get("n_layers_D", 5),
+                                 norm="instance")
+            n = example.num_graphs * self.img_size * self.img_size
+            dimg = self._to_images(example.x[:n])
+            dinput = jnp.concatenate(
+                [dimg[..., 3:4], dimg[..., :3], dimg[..., :3]], axis=-1)
+            dparams = self.disc.init(jax.random.key(seed + 1), dinput)["params"]
+            self.disc_tx, _ = build_optimizer(config["optimizer"], 1)
+            self.disc_state = TrainState(
+                params=dparams, opt_state=self.disc_tx.init(dparams),
+                step=jnp.zeros((), jnp.int32))
+            self._gan_step = self._make_gan_step()
+
+        if config.resume is not None:
+            self._resume_checkpoint(config.resume)
+
+        metrics = ["loss", "l1", "mse", "psnr", "graph_tv", "graph_lap_var"]
+        if self.use_gan:
+            metrics += ["loss_D_fake", "loss_D_real", "loss_G"]
+        self.train_metrics = MetricTracker(*metrics, writer=self.writer)
+        self.valid_metrics = MetricTracker(*metrics, writer=self.writer)
+
+    # ------------------------------------------------------------------
+    def _example_graph(self):
+        for g, _ in self.data_loader.val_loader:
+            return g
+        for g, _ in self.data_loader.train_loader:
+            return g
+        raise RuntimeError("No data available")
+
+    def _to_images(self, flat):
+        """[B*H*W, C] -> [B, H, W, C] (NHWC; the reference uses NCHW but the
+        layout is internal to each branch)."""
+        s = self.img_size
+        return flat.reshape(-1, s, s, flat.shape[-1])
+
+    def _valid_rows(self, graph):
+        n = int(graph.levels[0].num_vertices)
+        return n
+
+    # ----------------------------- 2d branch ---------------------------
+    def _make_2d_steps(self):
+        model, tx = self.model, self.tx
+        img_size = self.img_size
+
+        def to_img(flat, c):
+            return flat.reshape(-1, img_size, img_size, c)
+
+        def loss_fn(params, graph, train):
+            b = graph.num_graphs
+            n = b * img_size * img_size
+            x = to_img(graph.x[:n], graph.x.shape[-1])
+            color = to_img(graph.color[:n], 3)
+            mask = to_img(graph.mask[:n], 1)
+            out = model.apply({"params": params}, x, train=train)
+            composite = jnp.where(mask > 0, out, color)
+            loss = jnp.mean(jnp.abs(composite - color))
+            if self.use_total_variation:
+                loss = loss + total_variation_loss(
+                    composite, self.total_variation_weight)
+            return loss, composite
+
+        def train_step(state, graph, lr):
+            (loss, composite), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, graph, True)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=params, opt_state=opt_state,
+                                      step=state.step + 1)
+            return new_state, self._image_metrics(composite, graph, loss)
+
+        def eval_step(state, graph):
+            loss, composite = loss_fn(state.params, graph, False)
+            return self._image_metrics(composite, graph, loss), composite
+
+        return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+    def _image_metrics(self, composite, graph, loss):
+        b = graph.num_graphs
+        n = b * self.img_size * self.img_size
+        flat = composite.reshape(-1, 3)
+        color = graph.color[:n].reshape(-1, 3)
+        mse = jnp.mean((flat - color) ** 2)
+        return {
+            "loss": loss,
+            "l1": jnp.mean(jnp.abs(flat - color)),
+            "mse": mse,
+            "psnr": -10.0 * jnp.log10(mse / 4.0 + 1e-8),
+            "graph_tv": jnp.zeros(()),
+            "graph_lap_var": jnp.zeros(()),
+        }
+
+    def _make_gan_step(self):
+        model, disc = self.model, self.disc
+        tx, dtx = self.tx, self.disc_tx
+        img_size = self.img_size
+        gm_mode = self.gan_mode
+
+        def to_img(flat, c):
+            return flat.reshape(-1, img_size, img_size, c)
+
+        def gan_step(state, dstate, graph, lr):
+            b = graph.num_graphs
+            n = b * img_size * img_size
+            x = to_img(graph.x[:n], graph.x.shape[-1])
+            color = to_img(graph.color[:n], 3)
+            mask = to_img(graph.mask[:n], 1)
+            prior = jnp.concatenate([color * (1 - (mask > 0)), mask], -1)
+
+            def g_out(params):
+                out = model.apply({"params": params}, x, train=True)
+                return jnp.where(mask > 0, out, color)
+
+            # --- D step (fake detached == stop_gradient through G)
+            fake = jax.lax.stop_gradient(g_out(state.params))
+
+            def d_loss_fn(dparams):
+                pf = disc.apply({"params": dparams},
+                                jnp.concatenate([prior, fake], -1),
+                                train=True)
+                pr = disc.apply({"params": dparams},
+                                jnp.concatenate([prior, color], -1),
+                                train=True)
+                lf = gan_loss(pf, False, gm_mode)
+                lr_ = gan_loss(pr, True, gm_mode)
+                return (lf + lr_) * 0.5, (lf, lr_)
+
+            (dl, (lf, lr_)), dgrads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(dstate.params)
+            dupd, dopt = dtx.update(dgrads, dstate.opt_state, dstate.params)
+            dupd = jax.tree.map(lambda u: u * lr, dupd)
+            dparams = optax.apply_updates(dstate.params, dupd)
+            dstate = dstate.replace(params=dparams, opt_state=dopt,
+                                    step=dstate.step + 1)
+
+            # --- G step (D frozen)
+            def g_loss_fn(params):
+                fake = g_out(params)
+                loss = jnp.mean(jnp.abs(fake - color))
+                if self.use_total_variation:
+                    loss = loss + total_variation_loss(
+                        fake, self.total_variation_weight)
+                pf = disc.apply({"params": dstate.params},
+                                jnp.concatenate([prior, fake], -1),
+                                train=True)
+                lg = gan_loss(pf, True, gm_mode)
+                return loss + self.gan_loss_weight * lg, (fake, lg)
+
+            (gl, (fake, lg)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.params)
+            upd, opt = tx.update(grads, state.opt_state, state.params)
+            upd = jax.tree.map(lambda u: u * lr, upd)
+            params = optax.apply_updates(state.params, upd)
+            state = state.replace(params=params, opt_state=opt,
+                                  step=state.step + 1)
+
+            metrics = self._image_metrics(fake, graph, gl)
+            metrics.update({"loss_D_fake": lf, "loss_D_real": lr_,
+                            "loss_G": lg})
+            return state, dstate, metrics
+
+        return jax.jit(gan_step, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def _train_epoch(self, epoch):
+        self.train_metrics.reset()
+        lr = jnp.float32(self.lr_fn(epoch))
+        loader = self.data_loader.train_loader
+        len_epoch = len(loader)
+        for batch_idx, (graph, names) in enumerate(loader):
+            self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
+            if self.use_gan:
+                self.state, self.disc_state, metrics = self._gan_step(
+                    self.state, self.disc_state, graph, lr)
+            else:
+                self.state, metrics = self._train_step(self.state, graph, lr)
+            m = host_metrics(metrics)
+            for k, v in m.items():
+                self.train_metrics.update(k, v)
+            if batch_idx % self.batches_per_log == 0:
+                self.logger.debug(
+                    ":Train Epoch: %s %s I Loss: %.6f", epoch,
+                    self._progress(batch_idx, len_epoch), m["loss"])
+        self.writer.set_step(epoch - 1, "epoch_train", quiet=True)
+        log = self.train_metrics.result(write=True)
+        if self.do_validation:
+            val_log = self._valid_epoch(epoch)
+            log.update(**{"val_" + k: v for k, v in val_log.items()})
+        return log
+
+    def _valid_epoch(self, epoch):
+        self.valid_metrics.reset()
+        loader = self.data_loader.val_loader
+        for batch_idx, (graph, names) in enumerate(loader):
+            self.writer.set_step(batch_idx, "valid")
+            metrics, _ = self._eval_step(self.state, graph)
+            for k, v in host_metrics(metrics).items():
+                self.valid_metrics.update(k, v)
+        self.writer.set_step(epoch - 1, "epoch_valid", quiet=True)
+        return self.valid_metrics.result(write=True)
+
+    def _eval(self, mode):
+        log = self._valid_epoch(0)
+        for key, value in log.items():
+            self.logger.info("    %-15s: %s", str(key), value)
+
+    # ------------------------------------------------------------------
+    def _state_save(self, epoch, path):
+        models = {self.branch: self.state.params}
+        opts = {self.branch: self.state.opt_state}
+        if self.disc_state is not None:
+            models["discriminator"] = self.disc_state.params
+            opts["discriminator"] = self.disc_state.opt_state
+        save_checkpoint(path, models=models, opt_states=opts, epoch=epoch,
+                        monitor_best=self.mnt_best,
+                        config=self.config.config)
+
+    def _save_checkpoint(self, epoch):
+        self._state_save(
+            epoch, str(self.checkpoint_dir / f"checkpoint-epoch{epoch}.ckpt"))
+
+    def _save_best(self, epoch):
+        self._state_save(epoch, str(self.checkpoint_dir / "model_best.ckpt"))
+
+    def _resume_checkpoint(self, resume_path):
+        models_t = {self.branch: self.state.params}
+        opts_t = {self.branch: self.state.opt_state}
+        if self.disc_state is not None:
+            models_t["discriminator"] = self.disc_state.params
+            opts_t["discriminator"] = self.disc_state.opt_state
+        models, opts, _, meta = load_checkpoint(resume_path, models_t, opts_t)
+        self.state = self.state.replace(params=models[self.branch],
+                                        opt_state=opts[self.branch])
+        if self.disc_state is not None and "discriminator" in models:
+            self.disc_state = self.disc_state.replace(
+                params=models["discriminator"],
+                opt_state=opts["discriminator"])
+        self.start_epoch = meta["epoch"] + 1
+        self.mnt_best = meta["monitor_best"]

