@@ -1,0 +1,109 @@
+"""Preprocessing CLI — one scene per invocation with --number selecting from
+the scan directory, or a process-pool fan-out over all scenes (replaces the
+reference's `xargs -P` shell fan-out, scripts/generate_graph_levels.sh:27).
+
+  python -m stinet_tpu.preprocessing.cli graphs --scans <dir> --out <dir> \
+      --level-params 100 30 30 --dilations 2 4 6 8 16 [--number N | --jobs J]
+  python -m stinet_tpu.preprocessing.cli crops --graphs <dir> --out <dir>
+  python -m stinet_tpu.preprocessing.cli masks --graphs <dir> --out <dir> \
+      --mask-name rad_16 --radius 16
+"""
+import argparse
+import glob
+import os
+from concurrent.futures import ProcessPoolExecutor
+
+
+def _scene_plys(scans_dir):
+    plys = sorted(glob.glob(os.path.join(
+        scans_dir, "*", "*_vh_clean_2.ply")))
+    if not plys:
+        plys = sorted(glob.glob(os.path.join(scans_dir, "*.ply")))
+    return plys
+
+
+def cmd_graphs(args):
+    from stinet_tpu.preprocessing.graph_levels import process_scene
+    plys = _scene_plys(args.scans)
+    if args.number is not None:
+        plys = [plys[args.number]]
+
+    def run(ply):
+        try:
+            out = process_scene(ply, args.out, args.level_params,
+                                dilation_dists=args.dilations,
+                                dilation_levels=args.dilation_levels or ())
+            print("wrote", out, flush=True)
+        except Exception as e:  # per-scene crash tolerance
+            print(f"FAILED {ply}: {e}", flush=True)
+
+    if args.jobs > 1 and len(plys) > 1:
+        with ProcessPoolExecutor(max_workers=args.jobs) as pool:
+            list(pool.map(run, plys))
+    else:
+        for ply in plys:
+            run(ply)
+
+
+def cmd_crops(args):
+    from stinet_tpu.preprocessing.crops import process_scene_crops
+    for path in sorted(glob.glob(os.path.join(args.graphs, "graphs",
+                                              "*.npz"))):
+        written = process_scene_crops(
+            path, args.out, block_size=args.block_size, stride=args.stride,
+            num_levels=args.num_levels, dilation_dists=args.dilations)
+        print(f"{os.path.basename(path)}: {len(written)} crops", flush=True)
+
+
+def cmd_masks(args):
+    from stinet_tpu.preprocessing.masks import generate_masks_for_scene
+    for path in sorted(glob.glob(os.path.join(args.graphs, "graphs",
+                                              "*.npz"))):
+        written = generate_masks_for_scene(
+            path, os.path.join(args.out, "masks"), args.mask_name,
+            num_masks=args.num_masks, radius=args.radius,
+            frac_masked=args.frac_masked, seed=args.seed)
+        print(f"{os.path.basename(path)}: {len(written)} masks", flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("graphs")
+    g.add_argument("--scans", required=True)
+    g.add_argument("--out", required=True)
+    g.add_argument("--level-params", nargs="+", default=["100", "30", "30"])
+    g.add_argument("--dilations", nargs="+", type=int,
+                   default=[2, 4, 6, 8, 16])
+    g.add_argument("--dilation-levels", nargs="+", type=int, default=None)
+    g.add_argument("--number", type=int, default=None)
+    g.add_argument("--jobs", type=int, default=max(os.cpu_count() - 2, 1))
+    g.set_defaults(fn=cmd_graphs)
+
+    c = sub.add_parser("crops")
+    c.add_argument("--graphs", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--block-size", type=float, default=3.0)
+    c.add_argument("--stride", type=float, default=1.5)
+    c.add_argument("--num-levels", type=int, default=3)
+    c.add_argument("--dilations", nargs="+", type=int,
+                   default=[2, 4, 6, 8, 16])
+    c.set_defaults(fn=cmd_crops)
+
+    m = sub.add_parser("masks")
+    m.add_argument("--graphs", required=True)
+    m.add_argument("--out", required=True)
+    m.add_argument("--mask-name", default="rad_16")
+    m.add_argument("--num-masks", type=int, default=16)
+    m.add_argument("--radius", type=int, default=16)
+    m.add_argument("--frac-masked", type=float, default=0.2)
+    m.add_argument("--seed", type=int, default=0)
+    m.set_defaults(fn=cmd_masks)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Preprocessing pipeline tests: native decimators, graph level generation,
+dilation (vs a literal python port of the reference walk semantics), masks
+and crops."""
+import os
+
+import numpy as np
+import pytest
+
+from stinet_tpu.preprocessing import native
+from stinet_tpu.preprocessing.dilation import compute_all_node_dilated_edges
+from stinet_tpu.preprocessing.graph_levels import (
+    build_scene_levels, edges_from_faces, vertex_normals)
+from stinet_tpu.preprocessing.masks import circle_mask
+from stinet_tpu.preprocessing.crops import crop_scene
+from stinet_tpu.preprocessing.plyio import read_ply, write_ply
+
+
+def grid_mesh(n=20, noise=0.0, rng=None):
+    """Triangulated n x n plane mesh."""
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    v = np.stack([xs.ravel(), ys.ravel(),
+                  np.zeros(n * n)], axis=1).astype(np.float64)
+    if noise and rng is not None:
+        v[:, 2] += rng.normal(scale=noise, size=n * n)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    return v, np.asarray(faces, np.int64)
+
+
+def test_qem_decimate_counts_and_trace(rng):
+    v, f = grid_mesh(20, noise=0.01, rng=rng)
+    out_v, out_f, trace = native.qem_decimate(v, f, 100)
+    assert 80 <= len(out_v) <= 120
+    assert trace.shape == (400,)
+    # trace surjective onto the output vertex set
+    assert set(np.unique(trace)) == set(range(len(out_v)))
+    # faces reference valid vertices, non-degenerate
+    assert out_f.min() >= 0 and out_f.max() < len(out_v)
+    assert ((out_f[:, 0] != out_f[:, 1]) & (out_f[:, 1] != out_f[:, 2])
+            & (out_f[:, 0] != out_f[:, 2])).all()
+    # geometry preserved: decimated vertices stay near the plane
+    assert np.abs(out_v[:, 2]).max() < 0.5
+    # each original vertex's representative is nearby (grid is 20x20)
+    d = np.linalg.norm(v - out_v[trace], axis=1)
+    assert np.median(d) < 3.0
+
+
+def test_cluster_decimate(rng):
+    v, f = grid_mesh(16)
+    out_v, out_f, trace = native.cluster_decimate(v, f, 2.0)
+    assert len(out_v) == 64  # 16/2 = 8 cells per axis
+    assert set(np.unique(trace)) == set(range(len(out_v)))
+    # representatives are cell means
+    for c in range(len(out_v)):
+        members = v[trace == c]
+        np.testing.assert_allclose(out_v[c], members.mean(0), atol=1e-9)
+
+
+def test_edges_from_faces():
+    faces = np.array([[0, 1, 2], [1, 2, 3]])
+    e = edges_from_faces(faces)
+    pairs = {tuple(p) for p in e.T}
+    want = {(0, 1), (1, 0), (1, 2), (2, 1), (2, 0), (0, 2),
+            (2, 3), (3, 2), (1, 3), (3, 1)}
+    assert pairs == want
+
+
+def test_vertex_normals_plane():
+    v, f = grid_mesh(5)
+    n = vertex_normals(v, f)
+    np.testing.assert_allclose(np.abs(n[:, 2]), 1.0, atol=1e-9)
+
+
+def test_build_scene_levels_and_loader_roundtrip(tmp_path, rng):
+    v, f = grid_mesh(24, noise=0.01, rng=rng)
+    colors = rng.uniform(0, 1, size=(len(v), 3))
+    labels = rng.integers(0, 21, size=len(v))
+    data = build_scene_levels(v, f, colors, labels,
+                              level_params=["100", "30", "30"],
+                              dilation_dists=(2, 4),
+                              dilation_levels=(2,))
+    assert data["num_levels"] == 3
+    nv0 = data["vertices_0"].shape[0]
+    assert nv0 == len(v)
+    nv1 = data["vertices_1"].shape[0]
+    nv2 = data["vertices_2"].shape[0]
+    assert nv2 < nv1 < nv0
+    # traces: level l-1 count rows, values in [0, nv_l)
+    assert data["traces_1"].shape == (nv0,)
+    assert data["traces_1"].max() < nv1
+    assert data["traces_2"].shape == (nv1,)
+    assert data["traces_2"].max() < nv2
+    assert "dil_2_edges_2" in data
+    # vertex layout: pos|color|normals|orig-index
+    np.testing.assert_allclose(data["vertices_0"][:, 9],
+                               np.arange(nv0), atol=0)
+
+    # write npz + mask, then drive the 3D data loader + STINet forward
+    from stinet_tpu.data.scannet import read_split, SCANNET_VAL_FILE
+    scene = read_split(SCANNET_VAL_FILE)[0]
+    root = tmp_path / "val"
+    os.makedirs(root / "graphs")
+    np.savez(root / "graphs" / f"{scene}.npz", **data)
+    mdir = root / "masks" / "rad_16" / scene
+    os.makedirs(mdir)
+    mask = np.zeros(nv0, np.float32)
+    mask[rng.choice(nv0, nv0 // 5, replace=False)] = 3
+    np.savez(mdir / "0.npz", vertex_mask=mask)
+
+    from stinet_tpu.data.scannet import ScanNetGraphColorDataSet
+    from stinet_tpu.graph import build_hierarchical_graph
+    from stinet_tpu.models.factory import define_G
+    import jax
+
+    ds = ScanNetGraphColorDataSet(str(root), "rad_16", 3, is_train=False)
+    assert len(ds) == 1
+    sample = ds[0]
+    g = build_hierarchical_graph([sample])
+    model = define_G(input_nc=10, output_nc=3, ngf=8, n_blocks=2,
+                     dilations=[1, 2], norm="instance", pooling_type="max",
+                     n_levels=2, n_repeated_io_convs=1,
+                     filter_type="edgeconvtransinv")
+    params = model.init(jax.random.key(0), g)["params"]
+    out = np.asarray(model.apply({"params": params}, g))
+    assert np.isfinite(out[:nv0]).all()
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    v, f = grid_mesh(6)
+    colors = rng.uniform(0, 1, size=(len(v), 3))
+    for binary in (True, False):
+        p = str(tmp_path / f"mesh_{binary}.ply")
+        write_ply(p, v, f, colors, binary=binary)
+        m = read_ply(p)
+        np.testing.assert_allclose(m["vertices"], v, atol=1e-5)
+        np.testing.assert_array_equal(m["faces"], f)
+        assert np.abs(m["colors"] - colors).max() < 1.0 / 255 + 1e-6
+
+
+# ----------------------- dilation parity ----------------------------------
+
+def reference_dilation(edges, pos, norm, dilations):
+    """Literal python implementation of the reference walk
+    (graph_dilation.py:86-137) used as the oracle."""
+    nv = pos.shape[0]
+    adj = [[] for _ in range(nv)]
+    seen = set()
+    for s, d in edges.T:
+        if (s, d) not in seen:
+            seen.add((s, d))
+            adj[s].append(d)
+
+    def proj(n, u):
+        return u - n * np.dot(u, n)  # unit normals
+
+    out = {d: set() for d in dilations}
+    for c in range(nv):
+        one_hop = sorted(adj[c], key=lambda n: np.linalg.norm(pos[n] - pos[c]))
+        for n0 in one_hop:
+            if n0 == c:
+                continue
+            last, cur = c, n0
+            direction = pos[cur] - pos[last]
+            for dil in range(2, max(dilations) + 1):
+                best, best_sim = -1, 0.0
+                for m in adj[cur]:
+                    if m in adj[c] or m == last:
+                        continue
+                    a = proj(norm[cur], direction)
+                    b = proj(norm[cur], pos[m] - pos[cur])
+                    na, nb = np.linalg.norm(a), np.linalg.norm(b)
+                    if na < 1e-12 or nb < 1e-12:
+                        continue
+                    sim = np.dot(a, b) / (na * nb)
+                    if sim >= best_sim:
+                        best_sim, best = sim, m
+                if best == -1:
+                    break
+                if dil in dilations:
+                    out[dil].add((best, c))
+                last, cur = cur, best
+                dnew = proj(norm[cur], direction)
+                direction = dnew / np.linalg.norm(dnew)
+    return out
+
+
+def test_dilation_matches_reference_walk(rng):
+    # planar triangulated grid with xy jitter: a regular grid has exactly
+    # perpendicular candidates (cos sim == +-1e-16 floating noise) where the
+    # walk choice is undefined; real meshes are not degenerate like that.
+    v, f = grid_mesh(8, noise=0.02, rng=rng)
+    v[:, 0:2] += rng.uniform(-0.2, 0.2, size=(len(v), 2))
+    edges = edges_from_faces(f)
+    norm = np.zeros_like(v)
+    norm[:, 2] = 1.0
+    dils = [2, 4]
+    got = compute_all_node_dilated_edges(edges, v, norm, dils)
+    want = reference_dilation(edges, v, norm, dils)
+    for d, e in zip(dils, got):
+        got_set = {tuple(p) for p in e.T}
+        # ties may resolve differently; demand high overlap and identical size
+        # scale
+        inter = len(got_set & want[d])
+        union = len(got_set | want[d])
+        assert inter / union > 0.9, (d, inter, union)
+
+
+def test_dilation_points_toward_center(rng):
+    """Dilated edges (m -> c): m should be farther from c than 1-hop."""
+    v, f = grid_mesh(10)
+    edges = edges_from_faces(f)
+    norm = np.zeros_like(v)
+    norm[:, 2] = 1.0
+    (e2,) = compute_all_node_dilated_edges(edges, v, norm, [2])
+    d = np.linalg.norm(v[e2[0]] - v[e2[1]], axis=1)
+    # 2-dilated targets lie beyond the 1-hop ring (longest 1-hop edge is the
+    # anti-diagonal sqrt(2)); they must never BE 1-hop neighbors
+    assert (d >= 1.4).all()
+    one_hop = {tuple(p) for p in edges.T}
+    assert not ({tuple(p) for p in e2.T} & one_hop)
+
+
+# ----------------------- masks + crops ------------------------------------
+
+def test_circle_mask_semantics(rng):
+    v, f = grid_mesh(12)
+    edges = edges_from_faces(f)
+    mask = circle_mask(edges, len(v), radius=4, frac_masked=0.1,
+                       rng=np.random.default_rng(0))
+    assert (mask > 0).sum() >= 0.1 * len(v)
+    assert mask.max() <= 4
+    # values are radius - hopdist: a masked vertex adjacent to an observed
+    # one must have value 1 (the disk boundary)
+    from stinet_tpu.preprocessing.masks import bfs_hop_distances
+    masked = mask > 0
+    boundary = []
+    for s, d in edges.T:
+        if masked[s] and not masked[d]:
+            boundary.append(s)
+    assert boundary, "disk has a boundary"
+    assert np.allclose(mask[boundary], 1.0)
+
+
+def test_crop_scene(rng):
+    v, f = grid_mesh(24, noise=0.01, rng=rng)
+    colors = rng.uniform(0, 1, size=(len(v), 3))
+    data = build_scene_levels(v, f, colors, None,
+                              level_params=["100", "30", "30"])
+    crop = crop_scene(data, np.array([0.0, 0.0]), 12.0, 3,
+                      min_coarse_vertices=5)
+    assert crop is not None
+    nv0 = crop["vertices_0"].shape[0]
+    assert 0 < nv0 < len(v)
+    # all crop vertices inside AABB
+    assert (crop["vertices_0"][:, 0] <= 12.0).all()
+    assert (crop["vertices_0"][:, 1] <= 12.0).all()
+    # traces valid
+    assert crop["traces_0"].shape == (nv0,)
+    assert crop["traces_0"].max() < crop["vertices_1"].shape[0]
+    assert crop["traces_1"].max() < crop["vertices_2"].shape[0]
+    # edges reference crop-local ids
+    assert crop["edges_0"].max() < nv0
