@@ -18,8 +18,8 @@ import time
 import numpy as np
 
 V = int(os.environ.get("BENCH_V", 65536))
-ITERS = int(os.environ.get("BENCH_ITERS", 20))
-CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 2))
+ITERS = int(os.environ.get("BENCH_ITERS", 40))
+CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 1))
 NGF = 64
 N_BLOCKS = 9
 DILATIONS = [1, 1, 1, 2, 4, 8, 16, 1, 1]
@@ -36,23 +36,36 @@ def bench_tpu(scene):
     from stinet_tpu.graph.build import build_hierarchical_graph
     from stinet_tpu.models.factory import define_G
 
-    graph = build_hierarchical_graph([scene])
+    graph = jax.device_put(build_hierarchical_graph([scene]))
     model = define_G(input_nc=10, output_nc=3, ngf=NGF, n_blocks=N_BLOCKS,
                      dilations=DILATIONS, norm="instance", pooling_type="max",
                      n_levels=2, n_repeated_io_convs=1,
                      filter_type="edgeconvtransinv")
-    params = model.init(jax.random.key(0), graph)["params"]
+    params = jax.device_put(model.init(jax.random.key(0), graph)["params"])
+
+    import dataclasses
+    import jax.numpy as jnp
 
     @jax.jit
     def fwd(params, graph):
         return model.apply({"params": params}, graph)
 
+    @jax.jit
+    def chain(params, graph, out):
+        # feed the previous prediction back into the masked-color channels:
+        # keeps every iteration's computation unique (defeats any
+        # transparent result caching in the device tunnel) at negligible cost
+        x = graph.x.at[:, 0:3].add(out * 1e-6)
+        return fwd(params, dataclasses.replace(graph, x=x))
+
     out = fwd(params, graph)
-    jax.block_until_ready(out)  # compile + warmup
+    out = chain(params, graph, out)
+    float(jnp.sum(out))  # compile + warmup; readback = hard sync (the axon
+    #                      tunnel's block_until_ready returns early)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = fwd(params, graph)
-    jax.block_until_ready(out)
+        out = chain(params, graph, out)
+    float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / ITERS
     return V / dt, dt, jax.devices()[0].platform
 

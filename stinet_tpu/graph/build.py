@@ -48,21 +48,74 @@ class RawHierarchy:
     name: str = ""
 
 
+ELL_MAX_DEGREE = 64
+
+
+def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE):
+    """ELL + reverse tables from the (dst-sorted) valid edges. Returns
+    (nbr [V,D_in], rev_dst [V,D_out], out_degree [V]) or Nones for skewed
+    degree distributions (see ops/ell.py)."""
+    vs, vd = src[:e].astype(np.int64), dst[:e].astype(np.int64)
+    deg = np.bincount(vd, minlength=v_pad)
+    d_in = int(deg.max()) if e else 0
+    out_deg = np.bincount(vs, minlength=v_pad)
+    d_out = int(out_deg.max()) if e else 0
+    if e == 0 or d_in > max_deg or d_out > max_deg:
+        return None, None, None
+    indptr = np.zeros(v_pad + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+    slot = np.arange(e) - indptr[vd]          # position within the dst run
+    nbr = np.full((v_pad, d_in), trash, np.int32)
+    nbr[vd, slot] = vs
+    order = np.argsort(vs, kind="stable")
+    indptr_o = np.zeros(v_pad + 1, np.int64)
+    np.cumsum(out_deg, out=indptr_o[1:])
+    slot_o = np.arange(e) - indptr_o[vs[order]]
+    rev_dst = np.full((v_pad, d_out), trash, np.int32)
+    rev_dst[vs[order], slot_o] = vd[order]
+    return nbr, rev_dst, out_deg.astype(np.float32)
+
+
+def _build_children(trace, num_valid_fine, coarse_pad, fine_trash,
+                    max_children=128):
+    """Children table (coarse vertex -> its valid fine vertices) for
+    gather-only pooling. Only valid fine rows contribute (pad rows trace to
+    the coarse trash vertex and are excluded). Returns (children [Vc, C],
+    counts [Vc]) or (None, None) when a cluster exceeds max_children."""
+    tv = trace[:num_valid_fine].astype(np.int64)
+    counts = np.bincount(tv, minlength=coarse_pad)
+    cmax = int(counts.max()) if num_valid_fine else 0
+    if cmax == 0 or cmax > max_children:
+        return None, None
+    order = np.argsort(tv, kind="stable")
+    indptr = np.zeros(coarse_pad + 1, np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    slot = np.arange(num_valid_fine) - indptr[tv[order]]
+    children = np.full((coarse_pad, cmax), fine_trash, np.int32)
+    children[tv[order], slot] = order.astype(np.int32)
+    return children, counts.astype(np.float32)
+
+
 def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
-                  v_pad: int) -> EdgeSet:
+                  v_pad: int, ell_max_degree: int = ELL_MAX_DEGREE
+                  ) -> EdgeSet:
     """Sort a [2, E] COO edge array by destination and pad to e_pad with
-    trash self-edges. Precomputes the valid in-degree per (padded) vertex."""
+    trash self-edges. Precomputes the valid in-degree per (padded) vertex
+    and, when the degree bound allows, the ELL/reverse fast-path tables."""
     src, dst = np.asarray(edges[0]), np.asarray(edges[1])
     order = np.argsort(dst, kind="stable")
     src, dst = src[order], dst[order]
     e = src.shape[0]
     assert e <= e_pad, f"edge bucket too small: {e} > {e_pad}"
+    nbr, rev_dst, out_deg = _build_ell(src, dst, e, v_pad, trash,
+                                       ell_max_degree)
     pad = e_pad - e
     src = np.concatenate([src, np.full(pad, trash, dtype=np.int64)])
     dst = np.concatenate([dst, np.full(pad, trash, dtype=np.int64)])
     degree = np.bincount(edges[1], minlength=v_pad).astype(np.float32)
     return EdgeSet(src=src.astype(np.int32), dst=dst.astype(np.int32),
-                   num_edges=np.int32(e), degree=degree)
+                   num_edges=np.int32(e), degree=degree, nbr=nbr,
+                   rev_dst=rev_dst, out_degree=out_deg)
 
 
 def _concat_features(arrs, widths_like, pad_rows, pad_value=0):
@@ -103,6 +156,7 @@ def build_hierarchical_graph(
                      for t in totals]
     levels = []
     traces = []
+    children = []
     for l in range(num_levels):
         v_pad = int(v_buckets[l])
         assert v_pad > totals[l], "vertex bucket must exceed valid count"
@@ -142,6 +196,8 @@ def build_hierarchical_graph(
                 tr[offsets[l, g]:offsets[l, g + 1]] = (
                     s.traces[l].astype(np.int64) + offsets[l + 1, g])
             traces.append(tr)
+            children.append(_build_children(
+                tr, int(totals[l]), coarse_pad, v_pad - 1))
 
     pad0 = int(v_buckets[0]) - int(totals[0])
     x = _concat_features([s.x for s in samples], None, pad0)
@@ -152,10 +208,13 @@ def build_hierarchical_graph(
         labels = _concat_features(
             [s.labels for s in samples], None, pad0).astype(np.int32)
 
+    ch = tuple(c[0] for c in children)
+    cc = tuple(c[1] for c in children)
     return HierarchicalGraph(
         x=x.astype(np.float32), color=color.astype(np.float32),
         mask=mask.astype(np.float32), levels=tuple(levels),
-        traces=tuple(traces), num_graphs=num_graphs, labels=labels)
+        traces=tuple(traces), num_graphs=num_graphs, labels=labels,
+        children=ch, child_counts=cc)
 
 
 def batch_hierarchies(samples: Sequence[RawHierarchy], **kw):

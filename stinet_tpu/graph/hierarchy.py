@@ -37,6 +37,11 @@ class EdgeSet:
     dst: jax.Array          # [E_pad] int32, receiver vertex ids (sorted)
     num_edges: jax.Array    # scalar int32, count of valid (non-pad) edges
     degree: jax.Array       # [V_pad] float32, valid in-degree per vertex
+    # ELL fast path (see stinet_tpu/ops/ell.py); None when the degree
+    # distribution is too skewed and COO segment ops are used instead.
+    nbr: jax.Array = None       # [V_pad, D_in] int32 sender per receiver slot
+    rev_dst: jax.Array = None   # [V_pad, D_out] int32 receiver per sender slot
+    out_degree: jax.Array = None  # [V_pad] float32 valid out-degree
 
     @property
     def num_padded_edges(self) -> int:
@@ -74,6 +79,11 @@ class HierarchicalGraph:
     traces: Tuple[jax.Array, ...]       # traces[l]: [V_pad_l] -> level l+1 ids
     num_graphs: int = struct.field(pytree_node=False, default=1)
     labels: jax.Array = None            # [V0_pad] int32, segmentation only
+    # Children tables (coarse -> fine) induced by the traces, enabling
+    # gather-only pooling/unpooling (stinet_tpu/ops/ell.py); None entries
+    # fall back to segment ops.
+    children: Tuple = ()                # children[l]: [V_pad_{l+1}, C] int32
+    child_counts: Tuple = ()            # counts[l]: [V_pad_{l+1}] float32
 
     @property
     def num_levels(self) -> int:

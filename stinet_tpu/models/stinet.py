@@ -130,7 +130,9 @@ class EdgeConvFilter(nn.Module):
         agg = edge_conv_aggregate(
             p, q, edges.src, edges.dst,
             num_segments=edges.degree.shape[0], aggr=self.aggr,
-            degree=edges.degree.astype(dt) if self.aggr == "mean" else None)
+            degree=edges.degree.astype(dt) if self.aggr == "mean" else None,
+            nbr=edges.nbr, rev_dst=edges.rev_dst,
+            out_degree=edges.out_degree)
         return Dense(self.out_features, use_bias=self.use_bias,
                      dtype=dt, name="lin2")(agg)
 
@@ -208,10 +210,15 @@ class GraphResnetBlock(nn.Module):
         return x + out
 
 
-def _pool(x, trace, coarse_size, pooling_type):
-    """Encoder pooling: segment mean/max of fine features over the trace map
-    (reference _pooling, surfacetextureinpaintingnet.py:382-388). Pad fine
-    rows trace to the coarse trash vertex, so no masking is needed."""
+def _pool(x, trace, coarse_size, pooling_type, children=None, counts=None):
+    """Encoder pooling: mean/max of fine features over the trace map
+    (reference _pooling, surfacetextureinpaintingnet.py:382-388). Uses the
+    gather-only children-table path when available, else segment ops (pad
+    fine rows trace to the coarse trash vertex, so no masking is needed)."""
+    if children is not None:
+        from stinet_tpu.ops.ell import ell_pool_mean, ell_pool_max
+        fn = ell_pool_mean if pooling_type == "mean" else ell_pool_max
+        return fn(x, trace, children, counts)
     if pooling_type == "mean":
         return segment_mean(x, trace, coarse_size)
     if pooling_type == "max":
@@ -262,7 +269,9 @@ class SurfaceTextureInpaintingNet(nn.Module):
             mult = 2 ** i
             lvl = g.levels[i + 1]
             out = _pool(out, g.traces[i], lvl.num_padded_vertices,
-                        self.pooling_type)
+                        self.pooling_type,
+                        g.children[i] if g.children else None,
+                        g.child_counts[i] if g.children else None)
             out = Block(ngf * mult, ngf * mult * 2, self.filter_type,
                         self.norm, dtype=self.dtype,
                         name=f"encoder_block_{i}")(
@@ -290,8 +299,16 @@ class SurfaceTextureInpaintingNet(nn.Module):
             fine_idx = L - i - 1
             fine = g.levels[fine_idx]
             # unpool: fine vertex v copies its coarse representative's row
-            # (reference _unpooling, surfacetextureinpaintingnet.py:390-391)
-            out = out.at[g.traces[fine_idx]].get(mode="promise_in_bounds")
+            # (reference _unpooling, surfacetextureinpaintingnet.py:390-391);
+            # children-table custom VJP keeps the backward a gather too
+            if g.children and g.children[fine_idx] is not None:
+                from stinet_tpu.ops.ell import ell_unpool
+                out = ell_unpool(out, g.traces[fine_idx],
+                                 g.children[fine_idx],
+                                 g.child_counts[fine_idx])
+            else:
+                out = out.at[g.traces[fine_idx]].get(
+                    mode="promise_in_bounds")
             out = Block(ngf * mult, ngf * mult // 2, self.filter_type,
                         self.norm, dtype=self.dtype,
                         name=f"decoder_block_{i}")(

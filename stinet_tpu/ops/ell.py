@@ -1,0 +1,175 @@
+"""ELL (padded neighbor table) message passing — the scatter-free fast path.
+
+XLA lowers segment-sum scatters on TPU to slow serialized updates; gathers,
+by contrast, are fast vector loads. Graph builders therefore emit, alongside
+the COO edge list, an ELL layout:
+
+  nbr     [V_pad, D_in]  — for receiver v, slot d: sender vertex id
+                           (pad slots point at the trash vertex)
+  rev_dst [V_pad, D_out] — for sender s, slot j: receiver vertex id of its
+                           j-th outgoing edge (pad -> trash vertex)
+  out_degree [V_pad]     — valid out-edge count per sender
+
+Forward aggregation unrolls over the (static, small) slot axis: each step is
+a [V, H] row gather + elementwise work accumulated in registers — no
+[V, D, H] intermediate, no scatter. The custom VJP re-derives the message
+gradient at each sender from `rev_dst`:
+
+  dq[s] = sum_j 1[j < out_deg(s)] * g[i_j] * inv_deg[i_j]
+          * relu'(p[i_j] + q[s]),   i_j = rev_dst[s, j]
+
+which is again pure unrolled gathers. FLOPs overhead vs COO is
+max_degree/avg_degree; builders fall back to COO when degrees are too skewed.
+"""
+import jax
+import jax.numpy as jnp
+
+
+def _row(x, idx):
+    return x.at[idx].get(mode="promise_in_bounds")
+
+
+@jax.custom_vjp
+def ell_edge_conv_mean(p, q, nbr, rev_dst, deg_in, deg_out):
+    """out[v] = (1/deg[v]) * sum_d relu(p[v] + q[nbr[v, d]]) over valid
+    slots — EdgeConv message + mean aggregation in ELL form (relu is the
+    filter MLP's inner activation, reference edge_conv_filter.py:46-57)."""
+    return _forward(p, q, nbr, deg_in)
+
+
+def _forward(p, q, nbr, deg_in):
+    d_in = nbr.shape[1]
+    deg_i = deg_in.astype(jnp.int32)
+    acc = jnp.zeros_like(p)
+    for d in range(d_in):
+        m = jax.nn.relu(p + _row(q, nbr[:, d]))
+        acc = acc + jnp.where((d < deg_i)[:, None], m, 0.0)
+    inv = 1.0 / jnp.maximum(deg_in.astype(p.dtype), 1.0)
+    return acc * inv[:, None]
+
+
+def _fwd_rule(p, q, nbr, rev_dst, deg_in, deg_out):
+    return _forward(p, q, nbr, deg_in), (p, q, nbr, rev_dst, deg_in, deg_out)
+
+
+def _bwd_rule(res, g):
+    p, q, nbr, rev_dst, deg_in, deg_out = res
+    deg_i = deg_in.astype(jnp.int32)
+    deg_o = deg_out.astype(jnp.int32)
+    inv = 1.0 / jnp.maximum(deg_in.astype(p.dtype), 1.0)
+    ginv = g * inv[:, None]
+
+    dp = jnp.zeros_like(p)
+    for d in range(nbr.shape[1]):
+        grad_mask = (p + _row(q, nbr[:, d]) > 0).astype(p.dtype)
+        dp = dp + jnp.where((d < deg_i)[:, None], ginv * grad_mask, 0.0)
+
+    dq = jnp.zeros_like(q)
+    for j in range(rev_dst.shape[1]):
+        i = rev_dst[:, j]
+        contrib = _row(ginv, i) * (_row(p, i) + q > 0).astype(p.dtype)
+        dq = dq + jnp.where((j < deg_o)[:, None], contrib, 0.0)
+    return dp, dq, None, None, None, None
+
+
+ell_edge_conv_mean.defvjp(_fwd_rule, _bwd_rule)
+
+
+def ell_neighbor_mean(x, nbr, deg_in):
+    """Plain masked neighbor mean in ELL form (SAGE-style aggregation).
+    Differentiable through XLA (not on the STINet hot path)."""
+    deg_i = deg_in.astype(jnp.int32)
+    acc = jnp.zeros_like(x)
+    for d in range(nbr.shape[1]):
+        acc = acc + jnp.where((d < deg_i)[:, None], _row(x, nbr[:, d]), 0.0)
+    inv = 1.0 / jnp.maximum(deg_in.astype(x.dtype), 1.0)
+    return acc * inv[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Children-table pooling/unpooling: the trace map (fine -> coarse) induces a
+# children table (coarse -> its fine vertices). Pooling becomes an unrolled
+# gather+reduce over child slots; unpooling stays a trace gather; all VJPs
+# are likewise gathers (mean: dg_fine = g[trace]/count[trace]; max: routed by
+# equality to the achieving children; unpool: sum over children).
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def ell_pool_mean(x, trace, children, counts):
+    return _pool_sum(x, children, counts) / \
+        jnp.maximum(counts, 1.0)[:, None]
+
+
+def _pool_sum(x, children, counts):
+    cnt = counts.astype(jnp.int32)
+    acc = jnp.zeros((children.shape[0], x.shape[1]), x.dtype)
+    for c in range(children.shape[1]):
+        acc = acc + jnp.where((c < cnt)[:, None], _row(x, children[:, c]),
+                              0.0)
+    return acc
+
+
+def _pool_mean_fwd(x, trace, children, counts):
+    return ell_pool_mean(x, trace, children, counts), (trace, counts)
+
+
+def _pool_mean_bwd(res, g):
+    trace, counts = res
+    inv = 1.0 / jnp.maximum(counts, 1.0)
+    d_fine = _row(g * inv[:, None], trace)
+    return d_fine, None, None, None
+
+
+ell_pool_mean.defvjp(_pool_mean_fwd, _pool_mean_bwd)
+
+
+@jax.custom_vjp
+def ell_pool_max(x, trace, children, counts):
+    return _pool_max_fwd_impl(x, children, counts)
+
+
+def _pool_max_fwd_impl(x, children, counts):
+    cnt = counts.astype(jnp.int32)
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    acc = jnp.full((children.shape[0], x.shape[1]), neg, x.dtype)
+    for c in range(children.shape[1]):
+        cand = jnp.where((c < cnt)[:, None], _row(x, children[:, c]), neg)
+        acc = jnp.maximum(acc, cand)
+    # empty segments -> 0 (torch_scatter parity, see ops/segment.py)
+    return jnp.where((cnt > 0)[:, None], acc, 0.0)
+
+
+def _pool_max_fwd(x, trace, children, counts):
+    out = _pool_max_fwd_impl(x, children, counts)
+    return out, (x, trace, out)
+
+
+def _pool_max_bwd(res, g):
+    x, trace, out = res
+    # route gradient to children achieving the max (ties split, matching
+    # jax's scatter-max VJP behavior)
+    achieved = (x == _row(out, trace)).astype(x.dtype)
+    d_fine = _row(g, trace) * achieved
+    return d_fine, None, None, None
+
+
+ell_pool_max.defvjp(_pool_max_fwd, _pool_max_bwd)
+
+
+@jax.custom_vjp
+def ell_unpool(x, trace, children, counts):
+    """out[f] = x[trace[f]] with a gather-only backward (sum over
+    children)."""
+    return _row(x, trace)
+
+
+def _unpool_fwd(x, trace, children, counts):
+    return _row(x, trace), (children, counts)
+
+
+def _unpool_bwd(res, g):
+    children, counts = res
+    return _pool_sum(g, children, counts), None, None, None
+
+
+ell_unpool.defvjp(_unpool_fwd, _unpool_bwd)

@@ -48,7 +48,8 @@ def gather_edge_features(x, idx):
 
 def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
                         activation=jax.nn.relu, indices_are_sorted=True,
-                        degree=None):
+                        degree=None, nbr=None, rev_dst=None,
+                        out_degree=None):
     """out[i] = reduce_{e: dst[e]==i} activation(p[dst[e]] + q[src[e]]).
 
     p, q: [V_pad, H] precomputed per-vertex projections (see module docstring).
@@ -57,7 +58,14 @@ def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
         output (graph builders guarantee this, stinet_tpu/graph/build.py).
     degree: optional [V_pad] precomputed valid in-degree (for aggr='mean');
         computed from dst when omitted.
+    nbr/rev_dst/out_degree: optional ELL tables — when present (and
+        aggr='mean', relu), the scatter-free fast path in
+        stinet_tpu/ops/ell.py is used.
     """
+    if (nbr is not None and aggr == "mean" and degree is not None
+            and activation is jax.nn.relu):
+        from stinet_tpu.ops.ell import ell_edge_conv_mean
+        return ell_edge_conv_mean(p, q, nbr, rev_dst, degree, out_degree)
     m = activation(gather_edge_features(p, dst) + gather_edge_features(q, src))
     if aggr == "mean":
         return segment_mean(m, dst, num_segments,

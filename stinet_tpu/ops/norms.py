@@ -20,8 +20,14 @@ from stinet_tpu.ops.segment import segment_sum
 
 
 def _per_graph_mean(x, graph_id, num_graphs, valid_mask):
-    """Masked per-graph mean and count. x: [V, C] -> ([G, C], [G, 1])."""
+    """Masked per-graph mean and count. x: [V, C] -> ([G, C], [G, 1]).
+    num_graphs == 1 avoids the segment scatter entirely (the common case:
+    batch_size 1 scenes and the single-graph FastInstanceNorm path)."""
     w = valid_mask.astype(x.dtype)[:, None]
+    if num_graphs == 1:
+        s = jnp.sum(x * w, axis=0, keepdims=True)
+        n = jnp.sum(w, axis=0, keepdims=True)
+        return s / jnp.maximum(n, 1.0), n
     s = segment_sum(x * w, graph_id, num_graphs)
     n = segment_sum(w, graph_id, num_graphs)
     return s / jnp.maximum(n, 1.0), n
@@ -33,6 +39,11 @@ def masked_instance_norm(x, graph_id, num_graphs, valid_mask, eps=1e-5):
     fastinstancenorm.py:37-40). Pad rows are zeroed on output."""
     w = valid_mask.astype(x.dtype)[:, None]
     mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
+    if num_graphs == 1:
+        centered = (x - mean[0]) * w
+        var = jnp.sum(centered * centered, axis=0, keepdims=True) \
+            / jnp.maximum(n, 1.0)
+        return centered * (var[0] + eps) ** -0.5
     centered = (x - jnp.take(mean, graph_id, axis=0, mode='clip')) * w
     var = segment_sum(centered * centered, graph_id, num_graphs) / jnp.maximum(n, 1.0)
     inv = (var + eps) ** -0.5
@@ -50,6 +61,11 @@ def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
     """
     w = valid_mask.astype(x.dtype)[:, None]
     mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
+    if num_graphs == 1:
+        out = (x - mean[0] * mean_scale) * w
+        var = jnp.sum(out * out, axis=0, keepdims=True) / jnp.maximum(n, 1.0)
+        out = out * (var[0] + eps) ** -0.5
+        return (weight * out + bias) * w
     out = (x - jnp.take(mean, graph_id, axis=0, mode='clip') * mean_scale) * w
     var = segment_sum(out * out, graph_id, num_graphs) / jnp.maximum(n, 1.0)
     std_inv = (var + eps) ** -0.5

@@ -1,0 +1,99 @@
+"""ELL fast path vs COO segment path: forward and gradient equality."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stinet_tpu.graph.build import _pad_edge_set
+from stinet_tpu.ops.ell import ell_edge_conv_mean, ell_neighbor_mean
+from stinet_tpu.ops.message_passing import (
+    edge_conv_aggregate, neighbor_aggregate)
+
+
+def make_edge_set(rng, v=100, e=600, v_pad=128, e_pad=640):
+    src = rng.integers(0, v, size=e)
+    dst = rng.integers(0, v, size=e)
+    return _pad_edge_set(np.stack([src, dst]), e_pad, v_pad - 1, v_pad)
+
+
+def test_ell_tables_consistent(rng):
+    es = make_edge_set(rng)
+    assert es.nbr is not None and es.rev_dst is not None
+    v_pad, d = es.nbr.shape
+    e = int(es.num_edges)
+    # every valid edge appears exactly once in nbr at its dst row
+    pairs = []
+    deg = np.asarray(es.degree).astype(int)
+    for vtx in range(v_pad):
+        for s in range(deg[vtx]):
+            pairs.append((int(es.nbr[vtx, s]), vtx))
+    want = sorted(zip(np.asarray(es.src)[:e].tolist(),
+                      np.asarray(es.dst)[:e].tolist()))
+    assert sorted(pairs) == want
+    # rev_dst lists each sender's receivers
+    out_deg = np.asarray(es.out_degree).astype(int)
+    rev_pairs = []
+    for s_vtx in range(v_pad):
+        for j in range(out_deg[s_vtx]):
+            rev_pairs.append((s_vtx, int(es.rev_dst[s_vtx, j])))
+    assert sorted(rev_pairs) == want
+
+
+def test_ell_forward_matches_coo(rng):
+    es = make_edge_set(rng)
+    v_pad = es.degree.shape[0]
+    h = 16
+    p = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    coo = edge_conv_aggregate(p, q, es.src, es.dst, v_pad,
+                              degree=es.degree)  # COO (nbr not passed)
+    ell = ell_edge_conv_mean(p, q, es.nbr, es.rev_dst, es.degree, es.out_degree)
+    # compare valid rows only: COO accumulates pad-edge garbage in the trash
+    # row, ELL zeroes it (strictly cleaner)
+    np.testing.assert_allclose(np.asarray(ell)[:100], np.asarray(coo)[:100],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ell_grads_match_coo(rng):
+    es = make_edge_set(rng)
+    v_pad = es.degree.shape[0]
+    h = 8
+    p = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+
+    valid = jnp.arange(v_pad) < 100  # exclude the trash row
+
+    def loss_coo(p, q):
+        out = edge_conv_aggregate(p, q, es.src, es.dst, v_pad,
+                                  degree=es.degree)
+        return jnp.sum(out * w * valid[:, None])
+
+    def loss_ell(p, q):
+        out = ell_edge_conv_mean(p, q, es.nbr, es.rev_dst, es.degree, es.out_degree)
+        return jnp.sum(out * w * valid[:, None])
+
+    gp1, gq1 = jax.grad(loss_coo, argnums=(0, 1))(p, q)
+    gp2, gq2 = jax.grad(loss_ell, argnums=(0, 1))(p, q)
+    np.testing.assert_allclose(np.asarray(gp2), np.asarray(gp1),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gq2), np.asarray(gq1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_ell_neighbor_mean_matches(rng):
+    es = make_edge_set(rng)
+    v_pad = es.degree.shape[0]
+    x = jnp.asarray(rng.normal(size=(v_pad, 6)).astype(np.float32))
+    coo = neighbor_aggregate(x, es.src, es.dst, v_pad, degree=es.degree)
+    ell = ell_neighbor_mean(x, es.nbr, es.degree)
+    np.testing.assert_allclose(np.asarray(ell)[:100], np.asarray(coo)[:100],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_skewed_degree_falls_back(rng):
+    # one hub vertex with degree > ELL_MAX_DEGREE
+    e = 200
+    src = rng.integers(0, 50, size=e)
+    dst = np.zeros(e, np.int64)  # everything points at vertex 0
+    es = _pad_edge_set(np.stack([src, dst]), 256, 63, 64)
+    assert es.nbr is None and es.rev_dst is None
