@@ -53,6 +53,21 @@ class Inpainting2DTrainer(BaseTrainer):
         self.total_variation_weight = tcfg.get("total_variation_weight", 1e-4)
         self.do_validation = tcfg.get("do_validation", True)
         self.batches_per_log = tcfg.get("batches_per_log", 1)
+        self.vgg_content_weight = tcfg.get("vgg_content_weight", 0.03)
+        self.vgg_style_weight = tcfg.get("vgg_style_weight", 3000.0)
+        self.use_vgg = tcfg.get("use_vgg", False)
+        self.vgg_loss = self._setup_vgg(tcfg) if self.use_vgg else None
+        self.epochs_per_fid = tcfg.get("epochs_per_fid", 0)
+        self.use_val_fid = tcfg.get("use_val_fid", False)
+        self._fid = self._setup_fid(tcfg) if (
+            self.use_val_fid and self.epochs_per_fid) else None
+        # jax.profiler trace capture over scheduled steps — the TPU analog of
+        # the reference's torch.profiler epoch wrap
+        # (inpainting2d_trainer.py:319-325)
+        self.profiler = None
+        if tcfg.get("profile", False) and not config.dry_run:
+            from stinet_tpu.utils.profiling import EpochProfiler
+            self.profiler = EpochProfiler(config.log_dir / "profile")
 
         dl_args = config["data_loader"]["args"]
         self.num_accum = int(dl_args.get("num_cumulated_train_batches", 1))
@@ -69,8 +84,7 @@ class Inpainting2DTrainer(BaseTrainer):
         key = jax.random.key(seed)
         if self.branch == "graph":
             params = self.model.init(key, example)["params"]
-            self._train_step, self._eval_step = make_inpainting_steps(
-                self.model, self.tx, use_mask_weighted=False)
+            self._train_step, self._eval_step = self._make_graph_steps()
         else:
             n = example.num_graphs * self.img_size * self.img_size
             img = self._to_images(example.x[:n])
@@ -125,6 +139,115 @@ class Inpainting2DTrainer(BaseTrainer):
         n = int(graph.levels[0].num_vertices)
         return n
 
+    def _setup_vgg(self, tcfg):
+        """Build the VGG16 perceptual loss; pretrained torchvision weights
+        are converted from `trainer.vgg_weights` (a torch state-dict file)
+        when given, otherwise the loss runs with random features (flagged)."""
+        import jax as _jax
+        from stinet_tpu.models.vgg import (
+            VGG16Features, VGGLoss, convert_torch_vgg16)
+        path = tcfg.get("vgg_weights")
+        module = VGG16Features()
+        if path:
+            import torch
+            sd = torch.load(path, map_location="cpu")
+            variables = convert_torch_vgg16(sd)
+        else:
+            self.logger.warning(
+                "use_vgg without trainer.vgg_weights: running VGG loss with "
+                "random features (training signal only, not ImageNet-"
+                "perceptual)")
+            x = jnp.zeros((1, self.img_size, self.img_size, 3))
+            variables = module.init(_jax.random.key(0), x)
+        return VGGLoss(variables, resize_to=224)
+
+    def _setup_fid(self, tcfg):
+        import jax as _jax
+        from stinet_tpu.metrics.fid import FIDScoreCumulative
+        from stinet_tpu.models.inception import (
+            InceptionV3, convert_torch_state_dict)
+        model = InceptionV3()
+        path = tcfg.get("inception_weights")
+        if path:
+            import torch
+            variables = convert_torch_state_dict(
+                torch.load(path, map_location="cpu"))
+        else:
+            self.logger.warning(
+                "FID enabled without trainer.inception_weights: using "
+                "randomly initialized inception features (relative FID "
+                "trends only)")
+            x = jnp.zeros((1, 32, 32, 3))
+            variables = model.init(_jax.random.key(0), x)
+        feature_fn = _jax.jit(
+            lambda imgs: model.apply(variables, imgs / 2.0 + 0.5))
+        return FIDScoreCumulative(feature_fn=feature_fn)
+
+    def _perceptual_terms(self, composite_img, color_img):
+        """Optional VGG content/style + TV terms shared by both branches
+        (reference _compute_graph_loss/_compute_2d_loss,
+        inpainting2d_trainer.py:203-245)."""
+        extra = 0.0
+        if self.vgg_loss is not None:
+            content, style = self.vgg_loss(composite_img, color_img)
+            extra = extra + self.vgg_content_weight * content \
+                + self.vgg_style_weight * style
+            if self.use_total_variation:
+                extra = extra + total_variation_loss(
+                    composite_img, self.total_variation_weight)
+        elif self.use_total_variation:
+            extra = extra + total_variation_loss(
+                composite_img, self.total_variation_weight)
+        return extra
+
+    # --------------------------- graph branch --------------------------
+    def _make_graph_steps(self):
+        model, tx = self.model, self.tx
+        img_size = self.img_size
+
+        def to_img(flat, c):
+            return flat.reshape(-1, img_size, img_size, c)
+
+        def loss_fn(params, graph, train):
+            out = model.apply({"params": params}, graph, train=train)
+            composite = jnp.where(graph.mask > 0, out, graph.color)
+            n = graph.num_graphs * img_size * img_size
+            loss = jnp.mean(jnp.abs(composite[:n] - graph.color[:n]))
+            loss = loss + self._perceptual_terms(
+                to_img(composite[:n], 3), to_img(graph.color[:n], 3))
+            return loss, composite
+
+        def train_step(state, graph, lr):
+            (loss, composite), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, graph, True)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=params, opt_state=opt_state,
+                                      step=state.step + 1)
+            return new_state, self._graph_metrics(composite, graph, loss)
+
+        def eval_step(state, graph):
+            loss, composite = loss_fn(state.params, graph, False)
+            return self._graph_metrics(composite, graph, loss), composite
+
+        return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+    def _graph_metrics(self, composite, graph, loss):
+        lvl0 = graph.levels[0]
+        vmask = lvl0.vertex_mask()
+        return {
+            "loss": loss,
+            "l1": gm.l1(composite, graph.color, vmask),
+            "mse": gm.mse(composite, graph.color, vmask),
+            "psnr": gm.psnr(composite, graph.color, vmask, data_range=2.0),
+            "graph_tv": gm.graph_total_variation(
+                composite, lvl0.edges, lvl0.num_vertices),
+            "graph_lap_var": gm.graph_laplace_variance(
+                composite, lvl0.edges, lvl0.num_vertices),
+        }
+
     # ----------------------------- 2d branch ---------------------------
     def _make_2d_steps(self):
         model, tx = self.model, self.tx
@@ -142,9 +265,7 @@ class Inpainting2DTrainer(BaseTrainer):
             out = model.apply({"params": params}, x, train=train)
             composite = jnp.where(mask > 0, out, color)
             loss = jnp.mean(jnp.abs(composite - color))
-            if self.use_total_variation:
-                loss = loss + total_variation_loss(
-                    composite, self.total_variation_weight)
+            loss = loss + self._perceptual_terms(composite, color)
             return loss, composite
 
         def train_step(state, graph, lr):
@@ -258,6 +379,8 @@ class Inpainting2DTrainer(BaseTrainer):
         len_epoch = len(loader)
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
+            if self.profiler is not None:
+                self.profiler.step()
             if self.use_gan:
                 self.state, self.disc_state, metrics = self._gan_step(
                     self.state, self.disc_state, graph, lr)
@@ -280,13 +403,31 @@ class Inpainting2DTrainer(BaseTrainer):
     def _valid_epoch(self, epoch):
         self.valid_metrics.reset()
         loader = self.data_loader.val_loader
+        fid_epoch = (self._fid is not None and epoch > 0
+                     and epoch % self.epochs_per_fid == 0)
+        if fid_epoch:
+            self._fid.reset("val_pred")
+        n_img = self.img_size * self.img_size
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step(batch_idx, "valid")
-            metrics, _ = self._eval_step(self.state, graph)
+            metrics, composite = self._eval_step(self.state, graph)
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
+            if fid_epoch:
+                b = graph.num_graphs
+                imgs = np.asarray(composite)[:b * n_img].reshape(
+                    b, self.img_size, self.img_size, 3)
+                self._fid.add_images("val_pred", imgs)
+                if self._fid.num_samples("val_gt") < b * (batch_idx + 1):
+                    gt = np.asarray(graph.color)[:b * n_img].reshape(
+                        b, self.img_size, self.img_size, 3)
+                    self._fid.add_images("val_gt", gt)
         self.writer.set_step(epoch - 1, "epoch_valid", quiet=True)
-        return self.valid_metrics.result(write=True)
+        log = self.valid_metrics.result(write=True)
+        if fid_epoch and self._fid.num_samples("val_pred"):
+            log["fid"] = self._fid.fid_between("val_gt", "val_pred")
+            self.writer.add_scalar("fid", log["fid"])
+        return log
 
     def _eval(self, mode):
         log = self._valid_epoch(0)

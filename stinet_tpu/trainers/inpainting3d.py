@@ -80,7 +80,7 @@ class Inpainting3DTrainer(BaseTrainer):
             self._resume_checkpoint(config.resume)
 
         metrics = ["loss", "l1", "mse", "graph_tv", "graph_lap_var", "psnr",
-                   "psnr_mask_only"]
+                   "psnr_mask_only", "mem_allocated", "mem_reserved"]
         self.train_metrics = MetricTracker(*metrics, writer=self.writer)
         self.valid_metrics = MetricTracker(*metrics, writer=self.writer)
 
@@ -99,8 +99,11 @@ class Inpainting3DTrainer(BaseTrainer):
 
         loader = self.data_loader.train_loader
         len_epoch = len(loader)
+        from stinet_tpu.utils.profiling import device_memory_stats
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
+            for k, v in device_memory_stats().items():
+                self.train_metrics.update(k, v)
             self.state, metrics = self._train_step(self.state, graph, lr)
             m = host_metrics(metrics)
             for k, v in m.items():

@@ -149,18 +149,45 @@ class GraphSegmentationTrainer(BaseTrainer):
     def _valid_epoch(self, epoch):
         self.valid_metrics.reset()
         iou = IoU(self.num_classes, ignore_index=0)
+        # Full-resolution IoU: project coarse (level-0) predictions back to
+        # the original mesh vertices through original_index_traces when the
+        # loader provides it (reference segmentation_trainer.py:93,223).
+        full_iou = IoU(self.num_classes, ignore_index=0)
+        have_full = False
+        val_ds = getattr(self.data_loader, "val_dataset", None)
         for batch_idx, (graph, names) in enumerate(
                 self.data_loader.val_loader):
             metrics, pred, conf = self._eval_step(self.state, graph)
             iou.add_matrix(conf)
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
+            if val_ds is not None and graph.num_graphs == 1:
+                sample = None
+                try:
+                    idx = list(val_ds.index2filenames).index(names[0])
+                    sample = val_ds[idx]
+                except (ValueError, AttributeError):
+                    pass
+                orig = getattr(sample, "original_index_traces", None) \
+                    if sample is not None else None
+                if orig is not None and sample.labels is not None:
+                    p_full = np.asarray(pred)[np.asarray(orig)]
+                    l_full = np.asarray(sample.labels)[
+                        :len(orig)] if len(sample.labels) >= len(orig) \
+                        else np.asarray(sample.labels)
+                    if len(l_full) == len(p_full):
+                        full_iou.add(p_full, l_full,
+                                     (l_full != 0).astype(np.float32))
+                        have_full = True
         log = self.valid_metrics.result(write=True)
         per_class, miou = iou.value()
         _, mprec = iou.precision()
         log["mean_iou"] = float(miou)
         log["mean_precision"] = float(mprec)
         log["overall_accuracy"] = iou.overall_accuracy()
+        if have_full:
+            _, full_miou = full_iou.value()
+            log["full_scene_mean_iou"] = float(full_miou)
         for i, name in enumerate(CLASS_LABELS[:self.num_classes]):
             if not np.isnan(per_class[i]):
                 self.writer.set_step(epoch - 1, f"iou_{name}", quiet=True)
