@@ -41,7 +41,8 @@ def bench_tpu(scene):
                      dilations=DILATIONS, norm="instance", pooling_type="max",
                      n_levels=2, n_repeated_io_convs=1,
                      filter_type="edgeconvtransinv")
-    params = jax.device_put(model.init(jax.random.key(0), graph)["params"])
+    params = jax.device_put(
+        jax.jit(model.init)(jax.random.key(0), graph)["params"])
 
     import dataclasses
     import jax.numpy as jnp

@@ -83,12 +83,12 @@ class Inpainting2DTrainer(BaseTrainer):
         example = self._example_graph()
         key = jax.random.key(seed)
         if self.branch == "graph":
-            params = self.model.init(key, example)["params"]
+            params = jax.jit(self.model.init)(key, example)["params"]
             self._train_step, self._eval_step = self._make_graph_steps()
         else:
             n = example.num_graphs * self.img_size * self.img_size
             img = self._to_images(example.x[:n])
-            params = self.model.init(key, img)["params"]
+            params = jax.jit(self.model.init)(key, img)["params"]
             self._train_step, self._eval_step = self._make_2d_steps()
         logger.info("Number of parameters in %s: %d", self.branch,
                     count_parameters(params))

@@ -63,7 +63,8 @@ class Inpainting3DTrainer(BaseTrainer):
         # affect parameter shapes; one init serves all buckets).
         seed = config.get("seed", 123) or 123
         example = self._example_graph()
-        variables = self.model.init(jax.random.key(seed), example)
+        variables = jax.jit(self.model.init)(
+            jax.random.key(seed), example)
         params = variables["params"]
         logger.info("Number of parameters in graph: %d",
                     count_parameters(params))

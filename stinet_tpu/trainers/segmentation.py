@@ -46,7 +46,8 @@ class GraphSegmentationTrainer(BaseTrainer):
 
         seed = config.get("seed", 123) or 123
         example = self._example_graph()
-        variables = self.model.init(jax.random.key(seed), example)
+        variables = jax.jit(self.model.init)(
+            jax.random.key(seed), example)
         params = variables["params"]
         logger.info("Number of parameters: %d", count_parameters(params))
         self.state = TrainState(
