@@ -87,7 +87,7 @@ class UnetGenerator(nn.Module):
         def up(x, out_c, norm=True, dropout=False):
             x = nn.relu(x)
             x = nn.ConvTranspose(out_c, (4, 4), strides=(2, 2),
-                                 padding=((1, 1), (1, 1)),
+                                 padding=((2, 2), (2, 2)),
                                  use_bias=use_bias,
                                  kernel_init=torch_linear_init,
                                  dtype=self.dtype)(x)
@@ -114,7 +114,7 @@ class UnetGenerator(nn.Module):
             h = jnp.concatenate([skips.pop(), h], axis=-1)
         h = nn.relu(h)
         h = nn.ConvTranspose(self.output_nc, (4, 4), strides=(2, 2),
-                             padding=((1, 1), (1, 1)),
+                             padding=((2, 2), (2, 2)),
                              kernel_init=torch_linear_init,
                              dtype=self.dtype)(h)
         return jnp.tanh(h)
