@@ -7,6 +7,15 @@ import jax
 import numpy as np
 
 
+def _resolve_dtype(dtype):
+    """JSON configs pass dtypes as strings ('bfloat16' | 'float32')."""
+    if dtype is None or not isinstance(dtype, str):
+        return dtype
+    import jax.numpy as jnp
+    return {"bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": jnp.float32, "f32": jnp.float32}[dtype]
+
+
 def define_G(input_nc, output_nc, ngf, filter_type, norm="batch",
              dilation_order=0, use_dropout=False, n_blocks=6, n_levels=2,
              n_repeated_io_convs=1, init_type="normal", pooling_type="stride",
@@ -14,6 +23,7 @@ def define_G(input_nc, output_nc, ngf, filter_type, norm="batch",
              num_blocks_per_uncheckpointed_block=1, use_label_embedding=False,
              num_classes=None, num_embedding=None, dilations=None,
              init_gain=0.02, gpu_ids=(), dtype=None):
+    dtype = _resolve_dtype(dtype)
     if filter_type == "conv2d":
         from stinet_tpu.models.resnet2d import Resnet2D
         return Resnet2D(
@@ -37,6 +47,7 @@ def define_G(input_nc, output_nc, ngf, filter_type, norm="batch",
 
 def define_D(input_nc, ndf, netD, n_layers_D=3, norm="batch",
              init_type="normal", init_gain=0.02, gpu_ids=(), dtype=None):
+    dtype = _resolve_dtype(dtype)
     from stinet_tpu.models.gan_networks import (
         NLayerDiscriminator, PixelDiscriminator)
     if netD == "basic":

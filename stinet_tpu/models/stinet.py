@@ -54,12 +54,16 @@ class GraphNormLayer(nn.Module):
     @nn.compact
     def __call__(self, x, level: GraphLevel, num_graphs: int,
                  train: bool = False):
+        # norm statistics in >= f32 (bf16 means over 10^5 rows drift)
+        in_dtype = x.dtype
+        x = x.astype(jnp.promote_types(in_dtype, jnp.float32))
         vmask = level.vertex_mask(dtype=x.dtype)
         if self.norm_type == "none":
-            return x
+            return x.astype(in_dtype)
         if self.norm_type == "instance":
             return masked_instance_norm(
-                x, level.graph_id, num_graphs, vmask, eps=self.eps)
+                x, level.graph_id, num_graphs, vmask,
+                eps=self.eps).astype(in_dtype)
         if self.norm_type == "graph":
             weight = self.param("weight", nn.initializers.ones,
                                 (self.features,))

@@ -40,12 +40,14 @@ def ell_edge_conv_mean(p, q, nbr, rev_dst, deg_in, deg_out):
 def _forward(p, q, nbr, deg_in):
     d_in = nbr.shape[1]
     deg_i = deg_in.astype(jnp.int32)
-    acc = jnp.zeros_like(p)
+    # accumulate in >= f32 even under bf16 compute (sums over up to D slots)
+    acc_dt = jnp.promote_types(p.dtype, jnp.float32)
+    acc = jnp.zeros(p.shape, acc_dt)
     for d in range(d_in):
         m = jax.nn.relu(p + _row(q, nbr[:, d]))
-        acc = acc + jnp.where((d < deg_i)[:, None], m, 0.0)
-    inv = 1.0 / jnp.maximum(deg_in.astype(p.dtype), 1.0)
-    return acc * inv[:, None]
+        acc = acc + jnp.where((d < deg_i)[:, None], m.astype(acc_dt), 0.0)
+    inv = 1.0 / jnp.maximum(deg_in.astype(acc_dt), 1.0)
+    return (acc * inv[:, None]).astype(p.dtype)
 
 
 def _fwd_rule(p, q, nbr, rev_dst, deg_in, deg_out):

@@ -57,6 +57,7 @@ class Inpainting2DTrainer(BaseTrainer):
         self.vgg_style_weight = tcfg.get("vgg_style_weight", 3000.0)
         self.use_vgg = tcfg.get("use_vgg", False)
         self.vgg_loss = self._setup_vgg(tcfg) if self.use_vgg else None
+        self.visualize_samples = tcfg.get("visualize_samples", False)
         self.epochs_per_fid = tcfg.get("epochs_per_fid", 0)
         self.use_val_fid = tcfg.get("use_val_fid", False)
         self._fid = self._setup_fid(tcfg) if (
@@ -427,7 +428,28 @@ class Inpainting2DTrainer(BaseTrainer):
         if fid_epoch and self._fid.num_samples("val_pred"):
             log["fid"] = self._fid.fid_between("val_gt", "val_pred")
             self.writer.add_scalar("fid", log["fid"])
+        if self.visualize_samples and self.writer.writer is not None:
+            self._visualize_select_data(epoch)
         return log
+
+    def _visualize_select_data(self, epoch):
+        """Prediction grids of the fixed sample batches to TB (reference
+        _visualize_select_data, inpainting2d_trainer.py:529-577)."""
+        from stinet_tpu.utils.visualization_utils import visualize_tensor
+        n_img = self.img_size * self.img_size
+        for tag, loader in (("sample_train",
+                             self.data_loader.sample_train_loader),
+                            ("sample_val",
+                             self.data_loader.sample_val_loader)):
+            preds = []
+            for graph, _ in loader:
+                _, composite = self._eval_step(self.state, graph)
+                b = graph.num_graphs
+                preds.append(np.asarray(composite)[:b * n_img].reshape(
+                    b, self.img_size, self.img_size, 3))
+            if preds:
+                imgs = np.concatenate(preds)[:8] / 2.0 + 0.5
+                visualize_tensor(self.writer, f"predictions_{tag}", imgs)
 
     def _eval(self, mode):
         log = self._valid_epoch(0)
