@@ -20,6 +20,8 @@ import numpy as np
 V = int(os.environ.get("BENCH_V", 65536))
 ITERS = int(os.environ.get("BENCH_ITERS", 40))
 CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 1))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")  # headline stays f32 for
+#                                                   PSNR-parity defensibility
 NGF = 64
 N_BLOCKS = 9
 DILATIONS = [1, 1, 1, 2, 4, 8, 16, 1, 1]
@@ -40,7 +42,7 @@ def bench_tpu(scene):
     model = define_G(input_nc=10, output_nc=3, ngf=NGF, n_blocks=N_BLOCKS,
                      dilations=DILATIONS, norm="instance", pooling_type="max",
                      n_levels=2, n_repeated_io_convs=1,
-                     filter_type="edgeconvtransinv")
+                     filter_type="edgeconvtransinv", dtype=DTYPE)
     params = jax.device_put(
         jax.jit(model.init)(jax.random.key(0), graph)["params"])
 
@@ -68,7 +70,41 @@ def bench_tpu(scene):
         out = chain(params, graph, out)
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / ITERS
-    return V / dt, dt, jax.devices()[0].platform
+
+    # secondary: full training-step throughput (loss + grads + adam update)
+    import optax
+    from stinet_tpu.trainers.graph_common import (
+        build_optimizer, inpainting_loss)
+    tx, lr = build_optimizer({"type": "Adam",
+                              "args": {"lr": 7e-5, "amsgrad": True}})
+    opt_state = jax.device_put(tx.init(params))
+
+    @jax.jit
+    def train_step(params, opt_state, graph, out):
+        x = graph.x.at[:, 0:3].add(out * 1e-6)
+        g = dataclasses.replace(graph, x=x)
+
+        def loss_fn(p):
+            pred = model.apply({"params": p}, g)
+            vmask = g.levels[0].vertex_mask()
+            loss, comp = inpainting_loss(pred, g.color, g.mask, vmask, True)
+            return loss, comp
+
+        (loss, comp), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        upd = jax.tree.map(lambda u: u * jnp.float32(lr), upd)
+        return optax.apply_updates(params, upd), opt_state, comp
+
+    params2, opt_state, out = train_step(params, opt_state, graph, out)
+    float(jnp.sum(out))
+    train_iters = max(ITERS // 4, 3)
+    t0 = time.perf_counter()
+    for _ in range(train_iters):
+        params2, opt_state, out = train_step(params2, opt_state, graph, out)
+    float(jnp.sum(out))
+    train_dt = (time.perf_counter() - t0) / train_iters
+    return V / dt, dt, jax.devices()[0].platform, train_dt
 
 
 def bench_torch_cpu(scene):
@@ -166,7 +202,7 @@ def bench_torch_cpu(scene):
 
 def main():
     scene = build_scene()
-    tpu_vps, tpu_dt, platform = bench_tpu(scene)
+    tpu_vps, tpu_dt, platform, train_dt = bench_tpu(scene)
     cpu_vps, cpu_dt = bench_torch_cpu(scene)
     print(json.dumps({
         "metric": "stinet3d_inference_vertices_per_sec_per_chip",
@@ -174,8 +210,10 @@ def main():
         "unit": "vertices/s",
         "vs_baseline": round(tpu_vps / cpu_vps, 2),
         "detail": {
-            "V": V, "platform": platform,
+            "V": V, "platform": platform, "dtype": DTYPE,
             "tpu_ms_per_scene": round(tpu_dt * 1e3, 2),
+            "tpu_train_step_ms": round(train_dt * 1e3, 2),
+            "train_vertices_per_sec": round(V / train_dt, 1),
             "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
             "torch_cpu_vertices_per_sec": round(cpu_vps, 1),
         },
