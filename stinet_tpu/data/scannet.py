@@ -234,7 +234,7 @@ class _SceneLoader:
         return max(len(self.dataset) // self.batch_size, 1) \
             if len(self.dataset) else 0
 
-    def __iter__(self):
+    def _produce(self):
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
@@ -244,6 +244,11 @@ class _SceneLoader:
             yield (build_hierarchical_graph(
                 samples, pad_multiple=self.pad_multiple, geometric=True),
                 [s.name for s in samples])
+
+    def __iter__(self):
+        # overlap disk IO + padding with device compute
+        from stinet_tpu.data.prefetch import PrefetchIterator
+        return iter(PrefetchIterator(self._produce(), buffer_size=2))
 
 
 @DATALOADERS.register("ScanNetGraphColorDataLoader")
