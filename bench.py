@@ -71,10 +71,12 @@ def bench_tpu(scene):
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / ITERS
 
-    # secondary: full training-step throughput (loss + grads + adam update)
+    # secondary: full training-step throughput (loss + grads + adam update);
+    # remat off — memory is ample at this scale, recompute is pure overhead
     import optax
     from stinet_tpu.trainers.graph_common import (
         build_optimizer, inpainting_loss)
+    train_model = dataclasses.replace(model, remat_io_blocks=False)
     tx, lr = build_optimizer({"type": "Adam",
                               "args": {"lr": 7e-5, "amsgrad": True}})
     opt_state = jax.device_put(tx.init(params))
@@ -85,7 +87,7 @@ def bench_tpu(scene):
         g = dataclasses.replace(graph, x=x)
 
         def loss_fn(p):
-            pred = model.apply({"params": p}, g)
+            pred = train_model.apply({"params": p}, g)
             vmask = g.levels[0].vertex_mask()
             loss, comp = inpainting_loss(pred, g.color, g.mask, vmask, True)
             return loss, comp
