@@ -51,29 +51,60 @@ class RawHierarchy:
 ELL_MAX_DEGREE = 64
 
 
-def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE):
-    """ELL + reverse tables from the (dst-sorted) valid edges. Returns
-    (nbr [V,D_in], rev_dst [V,D_out], out_degree [V]) or Nones for skewed
-    degree distributions (see ops/ell.py)."""
+def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
+               cap_quantile=0.97, max_spill_frac=0.25):
+    """Hybrid ELL(+spill) tables from the (dst-sorted) valid edges.
+
+    The slot axis is capped near the `cap_quantile` in-degree: receivers with
+    more edges keep the first D_cap in ELL and spill the rest to a COO list
+    (ops/ell.py docstring). Returns a dict with nbr / rev_dst / out_degree /
+    ell_degree / spill (or None for degenerate distributions)."""
     vs, vd = src[:e].astype(np.int64), dst[:e].astype(np.int64)
     deg = np.bincount(vd, minlength=v_pad)
     d_in = int(deg.max()) if e else 0
-    out_deg = np.bincount(vs, minlength=v_pad)
-    d_out = int(out_deg.max()) if e else 0
-    if e == 0 or d_in > max_deg or d_out > max_deg:
-        return None, None, None
+    if e == 0:
+        return None
+    nz = deg[deg > 0]
+    d_cap = max(int(np.quantile(nz, cap_quantile)), 4)
+    d_cap = min(d_cap, d_in)
+    spill_count = int(np.maximum(deg - d_cap, 0).sum())
+    if d_cap >= d_in or spill_count > max_spill_frac * e:
+        d_cap = d_in          # no spill: either unnecessary or unprofitable
+    if d_cap > max_deg:
+        return None           # hub-dominated graph: plain COO path
+
     indptr = np.zeros(v_pad + 1, np.int64)
     np.cumsum(deg, out=indptr[1:])
     slot = np.arange(e) - indptr[vd]          # position within the dst run
-    nbr = np.full((v_pad, d_in), trash, np.int32)
-    nbr[vd, slot] = vs
-    order = np.argsort(vs, kind="stable")
+    keep = slot < d_cap
+    nbr = np.full((v_pad, d_cap), trash, np.int32)
+    nbr[vd[keep], slot[keep]] = vs[keep]
+    ell_deg = np.minimum(deg, d_cap)
+
+    kvs, kvd = vs[keep], vd[keep]
+    out_deg = np.bincount(kvs, minlength=v_pad)
+    d_out = int(out_deg.max()) if len(kvs) else 1
+    if d_out > max_deg:
+        return None
+    order = np.argsort(kvs, kind="stable")
     indptr_o = np.zeros(v_pad + 1, np.int64)
     np.cumsum(out_deg, out=indptr_o[1:])
-    slot_o = np.arange(e) - indptr_o[vs[order]]
-    rev_dst = np.full((v_pad, d_out), trash, np.int32)
-    rev_dst[vs[order], slot_o] = vd[order]
-    return nbr, rev_dst, out_deg.astype(np.float32)
+    slot_o = np.arange(len(kvs)) - indptr_o[kvs[order]]
+    rev_dst = np.full((v_pad, max(d_out, 1)), trash, np.int32)
+    rev_dst[kvs[order], slot_o] = kvd[order]
+
+    spill = None
+    if (~keep).any():
+        s_pad = bucket_size(int((~keep).sum()), 128)
+        sp_src = np.full(s_pad, trash, np.int32)
+        sp_dst = np.full(s_pad, trash, np.int32)
+        n_sp = int((~keep).sum())
+        sp_src[:n_sp] = vs[~keep]
+        sp_dst[:n_sp] = vd[~keep]   # still sorted by dst
+        spill = (sp_src, sp_dst)
+    return {"nbr": nbr, "rev_dst": rev_dst,
+            "out_degree": out_deg.astype(np.float32),
+            "ell_degree": ell_deg.astype(np.float32), "spill": spill}
 
 
 def _build_children(trace, num_valid_fine, coarse_pad, fine_trash,
@@ -97,8 +128,8 @@ def _build_children(trace, num_valid_fine, coarse_pad, fine_trash,
 
 
 def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
-                  v_pad: int, ell_max_degree: int = ELL_MAX_DEGREE
-                  ) -> EdgeSet:
+                  v_pad: int, ell_max_degree: int = ELL_MAX_DEGREE,
+                  cap_quantile: float = 0.97) -> EdgeSet:
     """Sort a [2, E] COO edge array by destination and pad to e_pad with
     trash self-edges. Precomputes the valid in-degree per (padded) vertex
     and, when the degree bound allows, the ELL/reverse fast-path tables."""
@@ -107,15 +138,22 @@ def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
     src, dst = src[order], dst[order]
     e = src.shape[0]
     assert e <= e_pad, f"edge bucket too small: {e} > {e_pad}"
-    nbr, rev_dst, out_deg = _build_ell(src, dst, e, v_pad, trash,
-                                       ell_max_degree)
+    ell = _build_ell(src, dst, e, v_pad, trash, ell_max_degree,
+                     cap_quantile=cap_quantile)
     pad = e_pad - e
     src = np.concatenate([src, np.full(pad, trash, dtype=np.int64)])
     dst = np.concatenate([dst, np.full(pad, trash, dtype=np.int64)])
     degree = np.bincount(edges[1], minlength=v_pad).astype(np.float32)
+    kw = {}
+    if ell is not None:
+        spill = ell["spill"]
+        kw = dict(nbr=ell["nbr"], rev_dst=ell["rev_dst"],
+                  out_degree=ell["out_degree"],
+                  ell_degree=ell["ell_degree"],
+                  spill_src=spill[0] if spill else None,
+                  spill_dst=spill[1] if spill else None)
     return EdgeSet(src=src.astype(np.int32), dst=dst.astype(np.int32),
-                   num_edges=np.int32(e), degree=degree, nbr=nbr,
-                   rev_dst=rev_dst, out_degree=out_deg)
+                   num_edges=np.int32(e), degree=degree, **kw)
 
 
 def _concat_features(arrs, widths_like, pad_rows, pad_value=0):

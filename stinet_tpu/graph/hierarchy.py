@@ -38,10 +38,15 @@ class EdgeSet:
     num_edges: jax.Array    # scalar int32, count of valid (non-pad) edges
     degree: jax.Array       # [V_pad] float32, valid in-degree per vertex
     # ELL fast path (see stinet_tpu/ops/ell.py); None when the degree
-    # distribution is too skewed and COO segment ops are used instead.
-    nbr: jax.Array = None       # [V_pad, D_in] int32 sender per receiver slot
+    # distribution is too skewed and COO segment ops are used instead. The
+    # slot axis is capped near the p97 in-degree; edges beyond the cap spill
+    # to a small COO list handled by segment ops (hybrid ELL+COO).
+    nbr: jax.Array = None       # [V_pad, D_cap] int32 sender per receiver slot
     rev_dst: jax.Array = None   # [V_pad, D_out] int32 receiver per sender slot
-    out_degree: jax.Array = None  # [V_pad] float32 valid out-degree
+    out_degree: jax.Array = None  # [V_pad] f32 ELL-resident out-degree
+    ell_degree: jax.Array = None  # [V_pad] f32 ELL-resident in-degree
+    spill_src: jax.Array = None   # [S_pad] int32 spilled edges, sorted by dst
+    spill_dst: jax.Array = None   # [S_pad] int32 (pads -> trash vertex)
 
     @property
     def num_padded_edges(self) -> int:

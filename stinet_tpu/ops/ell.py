@@ -15,8 +15,8 @@ a [V, H] row gather + elementwise work accumulated in registers — no
 [V, D, H] intermediate, no scatter. The custom VJP re-derives the message
 gradient at each sender from `rev_dst`:
 
-  dq[s] = sum_j 1[j < out_deg(s)] * g[i_j] * inv_deg[i_j]
-          * relu'(p[i_j] + q[s]),   i_j = rev_dst[s, j]
+  dq[s] = sum_j 1[j < out_deg(s)] * g[i_j] * relu'(p[i_j] + q[s]),
+          i_j = rev_dst[s, j]        (sum form; callers apply 1/deg)
 
 which is again pure unrolled gathers. FLOPs overhead vs COO is
 max_degree/avg_degree; builders fall back to COO when degrees are too skewed.
@@ -30,11 +30,21 @@ def _row(x, idx):
 
 
 @jax.custom_vjp
-def ell_edge_conv_mean(p, q, nbr, rev_dst, deg_in, deg_out):
-    """out[v] = (1/deg[v]) * sum_d relu(p[v] + q[nbr[v, d]]) over valid
-    slots — EdgeConv message + mean aggregation in ELL form (relu is the
-    filter MLP's inner activation, reference edge_conv_filter.py:46-57)."""
+def ell_edge_conv_sum(p, q, nbr, rev_dst, deg_in, deg_out):
+    """out[v] = sum_d relu(p[v] + q[nbr[v, d]]) over valid slots — the
+    EdgeConv message sum in ELL form (relu is the filter MLP's inner
+    activation, reference edge_conv_filter.py:46-57). `deg_in`/`deg_out`
+    count only the ELL-resident edges; callers divide by the TOTAL degree
+    (adding any COO spill contribution first) to realize mean aggregation."""
     return _forward(p, q, nbr, deg_in)
+
+
+def ell_edge_conv_mean(p, q, nbr, rev_dst, deg_in, deg_out):
+    """Mean aggregation for spill-free edge sets."""
+    acc_dt = jnp.promote_types(p.dtype, jnp.float32)
+    inv = 1.0 / jnp.maximum(deg_in.astype(acc_dt), 1.0)
+    s = ell_edge_conv_sum(p, q, nbr, rev_dst, deg_in, deg_out)
+    return (s.astype(acc_dt) * inv[:, None]).astype(p.dtype)
 
 
 def _forward(p, q, nbr, deg_in):
@@ -46,8 +56,7 @@ def _forward(p, q, nbr, deg_in):
     for d in range(d_in):
         m = jax.nn.relu(p + _row(q, nbr[:, d]))
         acc = acc + jnp.where((d < deg_i)[:, None], m.astype(acc_dt), 0.0)
-    inv = 1.0 / jnp.maximum(deg_in.astype(acc_dt), 1.0)
-    return (acc * inv[:, None]).astype(p.dtype)
+    return acc.astype(p.dtype)
 
 
 def _fwd_rule(p, q, nbr, rev_dst, deg_in, deg_out):
@@ -58,23 +67,21 @@ def _bwd_rule(res, g):
     p, q, nbr, rev_dst, deg_in, deg_out = res
     deg_i = deg_in.astype(jnp.int32)
     deg_o = deg_out.astype(jnp.int32)
-    inv = 1.0 / jnp.maximum(deg_in.astype(p.dtype), 1.0)
-    ginv = g * inv[:, None]
 
     dp = jnp.zeros_like(p)
     for d in range(nbr.shape[1]):
         grad_mask = (p + _row(q, nbr[:, d]) > 0).astype(p.dtype)
-        dp = dp + jnp.where((d < deg_i)[:, None], ginv * grad_mask, 0.0)
+        dp = dp + jnp.where((d < deg_i)[:, None], g * grad_mask, 0.0)
 
     dq = jnp.zeros_like(q)
     for j in range(rev_dst.shape[1]):
         i = rev_dst[:, j]
-        contrib = _row(ginv, i) * (_row(p, i) + q > 0).astype(p.dtype)
+        contrib = _row(g, i) * (_row(p, i) + q > 0).astype(p.dtype)
         dq = dq + jnp.where((j < deg_o)[:, None], contrib, 0.0)
     return dp, dq, None, None, None, None
 
 
-ell_edge_conv_mean.defvjp(_fwd_rule, _bwd_rule)
+ell_edge_conv_sum.defvjp(_fwd_rule, _bwd_rule)
 
 
 def ell_neighbor_mean(x, nbr, deg_in):

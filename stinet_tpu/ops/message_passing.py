@@ -49,7 +49,8 @@ def gather_edge_features(x, idx):
 def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
                         activation=jax.nn.relu, indices_are_sorted=True,
                         degree=None, nbr=None, rev_dst=None,
-                        out_degree=None):
+                        out_degree=None, ell_degree=None, spill_src=None,
+                        spill_dst=None):
     """out[i] = reduce_{e: dst[e]==i} activation(p[dst[e]] + q[src[e]]).
 
     p, q: [V_pad, H] precomputed per-vertex projections (see module docstring).
@@ -58,14 +59,24 @@ def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
         output (graph builders guarantee this, stinet_tpu/graph/build.py).
     degree: optional [V_pad] precomputed valid in-degree (for aggr='mean');
         computed from dst when omitted.
-    nbr/rev_dst/out_degree: optional ELL tables — when present (and
-        aggr='mean', relu), the scatter-free fast path in
-        stinet_tpu/ops/ell.py is used.
+    nbr/rev_dst/out_degree/ell_degree/spill_*: optional hybrid ELL tables —
+        when present (and aggr='mean', relu), the scatter-free fast path in
+        stinet_tpu/ops/ell.py handles the capped slot axis and a small COO
+        segment-sum handles the spilled high-degree tail.
     """
     if (nbr is not None and aggr == "mean" and degree is not None
             and activation is jax.nn.relu):
-        from stinet_tpu.ops.ell import ell_edge_conv_mean
-        return ell_edge_conv_mean(p, q, nbr, rev_dst, degree, out_degree)
+        from stinet_tpu.ops.ell import ell_edge_conv_sum
+        ell_deg = degree if ell_degree is None else ell_degree
+        out = ell_edge_conv_sum(p, q, nbr, rev_dst, ell_deg, out_degree)
+        if spill_src is not None:
+            m = activation(gather_edge_features(p, spill_dst)
+                           + gather_edge_features(q, spill_src))
+            out = out + segment_sum(m, spill_dst, num_segments,
+                                    indices_are_sorted=True)
+        acc_dt = jnp.promote_types(p.dtype, jnp.float32)
+        inv = 1.0 / jnp.maximum(degree.astype(acc_dt), 1.0)
+        return (out.astype(acc_dt) * inv[:, None]).astype(p.dtype)
     m = activation(gather_edge_features(p, dst) + gather_edge_features(q, src))
     if aggr == "mean":
         return segment_mean(m, dst, num_segments,

@@ -74,6 +74,8 @@ class HaloPlan(NamedTuple):
 
 
 def build_halo_plan(nbr: np.ndarray, v_pad: int, n_parts: int) -> HaloPlan:
+    """NOTE: halo kernels aggregate the ELL-resident edges; build plans from
+    spill-free edge sets (EdgeSet.spill_src is None) or pass ell_degree."""
     assert v_pad % n_parts == 0, "vertex dim must divide the mesh axis"
     vp = v_pad // n_parts
     owner = np.asarray(nbr) // vp                      # [V, D]

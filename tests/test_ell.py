@@ -9,10 +9,12 @@ from stinet_tpu.ops.message_passing import (
     edge_conv_aggregate, neighbor_aggregate)
 
 
-def make_edge_set(rng, v=100, e=600, v_pad=128, e_pad=640):
+def make_edge_set(rng, v=100, e=600, v_pad=128, e_pad=640,
+                  cap_quantile=1.0):
     src = rng.integers(0, v, size=e)
     dst = rng.integers(0, v, size=e)
-    return _pad_edge_set(np.stack([src, dst]), e_pad, v_pad - 1, v_pad)
+    return _pad_edge_set(np.stack([src, dst]), e_pad, v_pad - 1, v_pad,
+                         cap_quantile=cap_quantile)
 
 
 def test_ell_tables_consistent(rng):
@@ -97,3 +99,44 @@ def test_skewed_degree_falls_back(rng):
     dst = np.zeros(e, np.int64)  # everything points at vertex 0
     es = _pad_edge_set(np.stack([src, dst]), 256, 63, 64)
     assert es.nbr is None and es.rev_dst is None
+
+def _dispatch(p, q, es, v_pad):
+    return edge_conv_aggregate(
+        p, q, es.src, es.dst, v_pad, degree=es.degree, nbr=es.nbr,
+        rev_dst=es.rev_dst, out_degree=es.out_degree,
+        ell_degree=es.ell_degree, spill_src=es.spill_src,
+        spill_dst=es.spill_dst)
+
+
+def test_hybrid_spill_matches_coo(rng):
+    """Capped ELL + COO spill == pure COO, forward and gradients."""
+    # skewed-ish degrees so the p97 cap actually spills
+    v, v_pad = 100, 128
+    src = rng.integers(0, v, size=500)
+    dst = rng.integers(0, v, size=500)
+    hub_dst = rng.integers(0, 10, size=100)  # 10 high-degree receivers
+    hub_src = rng.integers(0, v, size=100)
+    edges = np.stack([np.concatenate([src, hub_src]),
+                      np.concatenate([dst, hub_dst])])
+    es = _pad_edge_set(edges, 640, v_pad - 1, v_pad, cap_quantile=0.9)
+    assert es.spill_src is not None, "fixture should trigger spill"
+    h = 8
+    p = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    coo = edge_conv_aggregate(p, q, es.src, es.dst, v_pad,
+                              degree=es.degree)
+    hyb = _dispatch(p, q, es, v_pad)
+    np.testing.assert_allclose(np.asarray(hyb)[:v], np.asarray(coo)[:v],
+                               rtol=1e-5, atol=1e-6)
+
+    w = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    valid = (jnp.arange(v_pad) < v)[:, None]
+
+    g1 = jax.grad(lambda a, b: jnp.sum(edge_conv_aggregate(
+        a, b, es.src, es.dst, v_pad, degree=es.degree) * w * valid),
+        argnums=(0, 1))(p, q)
+    g2 = jax.grad(lambda a, b: jnp.sum(
+        _dispatch(a, b, es, v_pad) * w * valid), argnums=(0, 1))(p, q)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
