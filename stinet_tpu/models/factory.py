@@ -22,7 +22,7 @@ def define_G(input_nc, output_nc, ngf, filter_type, norm="batch",
              io_receptive_field_type="large", checkpoint_bottleneck=False,
              num_blocks_per_uncheckpointed_block=1, use_label_embedding=False,
              num_classes=None, num_embedding=None, dilations=None,
-             init_gain=0.02, gpu_ids=(), dtype=None):
+             init_gain=0.02, gpu_ids=(), dtype=None, remat_io_blocks=True):
     dtype = _resolve_dtype(dtype)
     if filter_type == "conv2d":
         from stinet_tpu.models.resnet2d import Resnet2D
@@ -42,7 +42,7 @@ def define_G(input_nc, output_nc, ngf, filter_type, norm="batch",
         dilations=tuple(dilations) if dilations is not None else None,
         checkpoint_bottleneck=checkpoint_bottleneck,
         num_blocks_per_uncheckpointed_block=num_blocks_per_uncheckpointed_block,
-        dtype=dtype)
+        remat_io_blocks=remat_io_blocks, dtype=dtype)
 
 
 def define_D(input_nc, ndf, netD, n_layers_D=3, norm="batch",
