@@ -170,7 +170,8 @@ def build_hierarchical_graph(
         v_buckets: Optional[Sequence[int]] = None,
         e_buckets: Optional[Sequence[int]] = None,
         pad_multiple: int = 128,
-        geometric: bool = False) -> HierarchicalGraph:
+        geometric: bool = False,
+        ell_cap_quantile: float = 0.97) -> HierarchicalGraph:
     """Batch + pad raw hierarchies into one static-shape HierarchicalGraph.
 
     Vertex ids of sample g at level l are shifted by the cumulative vertex
@@ -205,7 +206,8 @@ def build_hierarchical_graph(
              for g, s in enumerate(samples)], axis=1)
         e_pad = (int(e_buckets[l]) if e_buckets is not None
                  else bucket_size(edges.shape[1], pad_multiple, geometric))
-        edge_set = _pad_edge_set(edges, e_pad, trash, v_pad)
+        edge_set = _pad_edge_set(edges, e_pad, trash, v_pad,
+                                 cap_quantile=ell_cap_quantile)
 
         dil = {}
         all_dists = sorted({d for s in samples for d in s.dilated.get(l, {})})
@@ -214,7 +216,8 @@ def build_hierarchical_graph(
                 [s.dilated[l][dist] + offsets[l, g]
                  for g, s in enumerate(samples)], axis=1)
             de_pad = bucket_size(de.shape[1], pad_multiple, geometric)
-            dil[int(dist)] = _pad_edge_set(de, de_pad, trash, v_pad)
+            dil[int(dist)] = _pad_edge_set(de, de_pad, trash, v_pad,
+                                           cap_quantile=ell_cap_quantile)
 
         graph_id = np.full(v_pad, num_graphs, dtype=np.int32)
         for g in range(num_graphs):

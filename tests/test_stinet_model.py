@@ -197,3 +197,25 @@ def test_stinet_transinv_and_mean_pool(rng):
     n = int(g.levels[0].num_vertices)
     d = np.abs(got[:n] - want)
     assert d.max() < 0.15 and d.mean() < 0.02, (d.max(), d.mean())
+
+
+def test_psnr_parity_f32_vs_f64(rng):
+    """North-star criterion (BASELINE.md): PSNR parity within ±0.1 dB. The
+    f32 fast path's outputs against the f64 semantic reference differ by
+    >60 dB PSNR-of-the-difference — orders of magnitude below a 0.1 dB
+    effect on any measured PSNR."""
+    samples = [make_sample(rng, img=32, name="s0")]
+    g32 = build_hierarchical_graph(samples)
+    model = SurfaceTextureInpaintingNet(**CFG)
+    params = model.init(jax.random.key(0), g32)["params"]
+    o32 = np.asarray(model.apply({"params": params}, g32))
+    with jax.enable_x64(True):
+        g64 = jax.tree.map(
+            lambda a: a.astype(np.float64)
+            if hasattr(a, "dtype") and a.dtype == np.float32 else a, g32)
+        p64 = jax.tree.map(lambda a: a.astype(np.float64), params)
+        o64 = np.asarray(model.apply({"params": p64}, g64))
+    n = int(g32.levels[0].num_vertices)
+    mse = np.mean((o32[:n] - o64[:n]) ** 2)
+    psnr_of_diff = -10 * np.log10(mse / 4.0 + 1e-30)
+    assert psnr_of_diff > 60.0, psnr_of_diff
