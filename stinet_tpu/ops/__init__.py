@@ -14,3 +14,11 @@ from stinet_tpu.ops.norms import (
     masked_graph_norm,
     masked_batch_norm_stats,
 )
+from stinet_tpu.ops.ell import (
+    ell_edge_conv_sum,
+    ell_edge_conv_mean,
+    ell_neighbor_mean,
+    ell_pool_mean,
+    ell_pool_max,
+    ell_unpool,
+)
