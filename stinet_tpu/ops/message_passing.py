@@ -72,8 +72,11 @@ def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
         if spill_src is not None:
             m = activation(gather_edge_features(p, spill_dst)
                            + gather_edge_features(q, spill_src))
-            out = out + segment_sum(m, spill_dst, num_segments,
-                                    indices_are_sorted=True)
+            # scatter-add in >= f32: sub-f32 scatter accumulation serializes
+            # on TPU (and loses precision)
+            m32 = m.astype(jnp.promote_types(m.dtype, jnp.float32))
+            out = out + segment_sum(m32, spill_dst, num_segments,
+                                    indices_are_sorted=True).astype(out.dtype)
         acc_dt = jnp.promote_types(p.dtype, jnp.float32)
         inv = 1.0 / jnp.maximum(degree.astype(acc_dt), 1.0)
         return (out.astype(acc_dt) * inv[:, None]).astype(p.dtype)

@@ -81,7 +81,7 @@ def inpainting_loss(output, color, mask, vmask, use_mask_weighted):
     (reference _graph_forward + compute_loss, inpainting3d_trainer.py:127-137)
     with the optional 0.99^mask distance weighting; mean over valid
     vertices x channels."""
-    composite = jnp.where(mask > 0, output, color)
+    composite = jnp.where(mask > 0, output, color).astype(color.dtype)
     per = jnp.abs(composite - color)
     if use_mask_weighted:
         per = per * jnp.power(0.99, mask)
@@ -91,6 +91,9 @@ def inpainting_loss(output, color, mask, vmask, use_mask_weighted):
 
 
 def inpainting_metrics(composite, graph, loss):
+    # metrics always in f32: bf16 segment reductions serialize on TPU and
+    # sub-f32 metric precision is useless anyway
+    composite = composite.astype(jnp.float32)
     lvl0 = graph.levels[0]
     vmask = lvl0.vertex_mask()
     region = (graph.mask[:, 0] > 0).astype(jnp.float32)
