@@ -61,6 +61,14 @@ class GraphNormLayer(nn.Module):
         if self.norm_type == "none":
             return x.astype(in_dtype)
         if self.norm_type == "instance":
+            v_pad = x.shape[0]
+            if (num_graphs == 1 and jax.default_backend() == "tpu"
+                    and v_pad % 512 == 0 and x.dtype == jnp.float32):
+                # fused two-pass Pallas kernel (single-graph fast path)
+                from stinet_tpu.ops.pallas.instance_norm import (
+                    pallas_instance_norm)
+                return pallas_instance_norm(
+                    x, level.num_vertices, self.eps).astype(in_dtype)
             return masked_instance_norm(
                 x, level.graph_id, num_graphs, vmask,
                 eps=self.eps).astype(in_dtype)
@@ -118,16 +126,19 @@ class EdgeConvFilter(nn.Module):
         hidden = 2 * self.out_features
         c = self.in_features
         dt = self.dtype or x.dtype
+        x = x.astype(dt)
         if self.trans_inv:
             w1 = self.param("lin1_kernel", torch_linear_init, (c, hidden))
-            b1 = (self.param("lin1_bias", nn.initializers.zeros, (hidden,))
-                  if self.use_bias else 0.0)
+            b1 = (self.param("lin1_bias", nn.initializers.zeros,
+                             (hidden,)).astype(dt)
+                  if self.use_bias else jnp.zeros((), dt))
             xw = x @ w1.astype(dt)
             p, q = b1 - xw, xw
         else:
             w1 = self.param("lin1_kernel", torch_linear_init, (2 * c, hidden))
-            b1 = (self.param("lin1_bias", nn.initializers.zeros, (hidden,))
-                  if self.use_bias else 0.0)
+            b1 = (self.param("lin1_bias", nn.initializers.zeros,
+                             (hidden,)).astype(dt)
+                  if self.use_bias else jnp.zeros((), dt))
             wi, wd = w1[:c].astype(dt), w1[c:].astype(dt)
             p = x @ (wi - wd) + b1
             q = x @ wd

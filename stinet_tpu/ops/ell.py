@@ -71,14 +71,16 @@ def _bwd_rule(res, g):
     dp = jnp.zeros_like(p)
     for d in range(nbr.shape[1]):
         grad_mask = (p + _row(q, nbr[:, d]) > 0).astype(p.dtype)
-        dp = dp + jnp.where((d < deg_i)[:, None], g * grad_mask, 0.0)
+        dp = dp + jnp.where((d < deg_i)[:, None],
+                            (g * grad_mask).astype(p.dtype), 0.0)
 
     dq = jnp.zeros_like(q)
     for j in range(rev_dst.shape[1]):
         i = rev_dst[:, j]
-        contrib = _row(g, i) * (_row(p, i) + q > 0).astype(p.dtype)
-        dq = dq + jnp.where((j < deg_o)[:, None], contrib, 0.0)
-    return dp, dq, None, None, None, None
+        contrib = _row(g, i) * (_row(p, i) + q > 0).astype(q.dtype)
+        dq = dq + jnp.where((j < deg_o)[:, None],
+                            contrib.astype(q.dtype), 0.0)
+    return dp.astype(p.dtype), dq.astype(q.dtype), None, None, None, None
 
 
 ell_edge_conv_sum.defvjp(_fwd_rule, _bwd_rule)
