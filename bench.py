@@ -15,6 +15,11 @@ import json
 import os
 import time
 
+# persistent compilation cache: repeated bench runs skip the large unrolled
+# compiles (the driver runs this script fresh each round)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 V = int(os.environ.get("BENCH_V", 65536))

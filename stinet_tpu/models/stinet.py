@@ -62,9 +62,12 @@ class GraphNormLayer(nn.Module):
             return x.astype(in_dtype)
         if self.norm_type == "instance":
             v_pad = x.shape[0]
-            if (num_graphs == 1 and jax.default_backend() == "tpu"
+            import os
+            if (os.environ.get("STINET_PALLAS_NORM") == "1"
+                    and num_graphs == 1 and jax.default_backend() == "tpu"
                     and v_pad % 512 == 0 and x.dtype == jnp.float32):
-                # fused two-pass Pallas kernel (single-graph fast path)
+                # fused two-pass Pallas kernel (opt-in until verified on
+                # real hardware; interpret-mode correctness is tested)
                 from stinet_tpu.ops.pallas.instance_norm import (
                     pallas_instance_norm)
                 return pallas_instance_norm(
