@@ -21,6 +21,34 @@ from flax import struct
 from stinet_tpu.metrics import graph_metrics as gm
 
 
+def scale_by_amsgrad_torch(b1=0.9, b2=0.999, eps=1e-8):
+    """torch.optim.Adam(amsgrad=True) semantics exactly:
+        m = b1 m + (1-b1) g;  v = b2 v + (1-b2) g^2;  vmax = max(vmax, v)
+        update = (m / (1-b1^t)) / (sqrt(vmax / (1-b2^t)) + eps)
+    (optax.scale_by_amsgrad orders the max/bias-correction differently and
+    diverges from torch by ~1e-3 within 20 steps — measured)."""
+    def init(params):
+        z = jax.tree.map(jnp.zeros_like, params)
+        return {"count": jnp.zeros((), jnp.int32),
+                "mu": z, "nu": jax.tree.map(jnp.zeros_like, params),
+                "nu_max": jax.tree.map(jnp.zeros_like, params)}
+
+    def update(grads, state, params=None):
+        count = state["count"] + 1
+        mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g,
+                          state["mu"], grads)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                          state["nu"], grads)
+        nu_max = jax.tree.map(jnp.maximum, state["nu_max"], nu)
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        upd = jax.tree.map(
+            lambda m, vm: (m / c1) / (jnp.sqrt(vm / c2) + eps), mu, nu_max)
+        return upd, {"count": count, "mu": mu, "nu": nu, "nu_max": nu_max}
+
+    return optax.GradientTransformation(init, update)
+
+
 @struct.dataclass
 class TrainState:
     params: Any
@@ -43,7 +71,7 @@ def build_optimizer(opt_config: Dict, num_accum: int = 1):
         parts.append(optax.add_decayed_weights(wd))
     if opt_type == "Adam":
         if args.get("amsgrad", False):
-            parts.append(optax.scale_by_amsgrad(b1=b1, b2=b2, eps=eps))
+            parts.append(scale_by_amsgrad_torch(b1=b1, b2=b2, eps=eps))
         else:
             parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
     elif opt_type == "SGD":

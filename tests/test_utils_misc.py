@@ -143,3 +143,26 @@ def test_synced_timer():
             sum(range(1000))
     res = t.results()
     assert "work" in res and res["work"] >= 0.0
+
+def test_amsgrad_matches_torch(rng):
+    """build_optimizer's Adam(amsgrad) follows torch.optim.Adam exactly."""
+    import torch
+    import optax
+    from stinet_tpu.trainers.graph_common import build_optimizer
+    w0 = rng.normal(size=(5, 4)).astype(np.float32)
+    grads = [rng.normal(size=(5, 4)).astype(np.float32) for _ in range(20)]
+    lr = 1e-3
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.Adam([wt], lr=lr, amsgrad=True)
+    for g in grads:
+        wt.grad = torch.from_numpy(g)
+        opt.step()
+    tx, _ = build_optimizer({"type": "Adam",
+                             "args": {"lr": lr, "amsgrad": True}})
+    wj = jnp.asarray(w0)
+    st = tx.init(wj)
+    for g in grads:
+        upd, st = tx.update(jnp.asarray(g), st, wj)
+        wj = wj + upd * lr
+    np.testing.assert_allclose(np.asarray(wj), wt.detach().numpy(),
+                               rtol=1e-5, atol=1e-6)
