@@ -60,8 +60,10 @@ class Inpainting2DTrainer(BaseTrainer):
         self.visualize_samples = tcfg.get("visualize_samples", False)
         self.epochs_per_fid = tcfg.get("epochs_per_fid", 0)
         self.use_val_fid = tcfg.get("use_val_fid", False)
+        self.use_train_fid = tcfg.get("use_train_fid", False)
         self._fid = self._setup_fid(tcfg) if (
-            self.use_val_fid and self.epochs_per_fid) else None
+            (self.use_val_fid or self.use_train_fid)
+            and self.epochs_per_fid) else None
         # jax.profiler trace capture over scheduled steps — the TPU analog of
         # the reference's torch.profiler epoch wrap
         # (inpainting2d_trainer.py:319-325)
@@ -396,10 +398,36 @@ class Inpainting2DTrainer(BaseTrainer):
                     self._progress(batch_idx, len_epoch), m["loss"])
         self.writer.set_step(epoch - 1, "epoch_train", quiet=True)
         log = self.train_metrics.result(write=True)
+        if (self._fid is not None and self.use_train_fid
+                and epoch % self.epochs_per_fid == 0):
+            log["train_fid"] = self._train_fid()
         if self.do_validation:
             val_log = self._valid_epoch(epoch)
             log.update(**{"val_" + k: v for k, v in val_log.items()})
         return log
+
+    def _train_fid(self):
+        """FID of predictions vs GT over the fixed train sample subset
+        (reference per-epochs_per_fid train FID sessions,
+        inpainting2d_trainer.py:310-313,414-422)."""
+        self._fid.reset("train_pred")
+        n_img = self.img_size * self.img_size
+        first = self._fid.num_samples("train_gt") == 0
+        for graph, _ in self.data_loader.sample_train_loader:
+            _, composite = self._eval_step(self.state, graph)
+            b = graph.num_graphs
+            imgs = np.asarray(composite)[:b * n_img].reshape(
+                b, self.img_size, self.img_size, 3)
+            self._fid.add_images("train_pred", imgs)
+            if first:
+                gt = np.asarray(graph.color)[:b * n_img].reshape(
+                    b, self.img_size, self.img_size, 3)
+                self._fid.add_images("train_gt", gt)
+        if first:
+            self._fid.freeze_statistics("train_gt")
+        fid = self._fid.fid_between("train_gt", "train_pred")
+        self.writer.add_scalar("train_fid", fid)
+        return fid
 
     def _valid_epoch(self, epoch):
         self.valid_metrics.reset()

@@ -68,5 +68,7 @@ if __name__ == "__main__":
                    target="optimizer;args;lr"),
         CustomArgs(["--bs", "--batch_size"], type=int,
                    target="data_loader;args;batch_size"),
+        CustomArgs(["--ld", "--log_dir"], type=str,
+                   target="trainer;save_dir"),
     ]
     main(ConfigParser.from_args(args, options))
