@@ -19,6 +19,7 @@ def test_2d_trainer_with_vgg_and_fid(tmp_path):
         "vgg_style_weight": 1.0,
         "total_variation_weight": 1e-4,
         "use_val_fid": True,
+        "use_train_fid": True,
         "epochs_per_fid": 1,
         "epochs": 1,
     })
@@ -32,3 +33,4 @@ def test_2d_trainer_with_vgg_and_fid(tmp_path):
                                          for k in log}
     fid_val = log.get("val_fid", log.get("fid"))
     assert np.isfinite(fid_val)
+    assert np.isfinite(log["train_fid"])
