@@ -32,6 +32,9 @@ N_BLOCKS = 9
 DILATIONS = [1, 1, 1, 2, 4, 8, 16, 1, 1]
 
 
+_START = time.perf_counter()
+
+
 def build_scene():
     from stinet_tpu.utils.synthetic import synthetic_scene
     return synthetic_scene(num_vertices=V, levels=3, seed=0,
@@ -77,7 +80,12 @@ def bench_tpu(scene):
     dt = (time.perf_counter() - t0) / ITERS
 
     # secondary: full training-step throughput (loss + grads + adam update);
-    # remat off — memory is ample at this scale, recompute is pure overhead
+    # remat off — memory is ample at this scale, recompute is pure overhead.
+    # Skipped when the primary measurement already consumed the time budget
+    # (cold compiles on a fresh machine) so the JSON line always prints.
+    if time.perf_counter() - _START > float(
+            os.environ.get("BENCH_TRAIN_BUDGET_S", 360)):
+        return V / dt, dt, jax.devices()[0].platform, float("nan")
     import optax
     from stinet_tpu.trainers.graph_common import (
         build_optimizer, inpainting_loss)
@@ -219,8 +227,10 @@ def main():
         "detail": {
             "V": V, "platform": platform, "dtype": DTYPE,
             "tpu_ms_per_scene": round(tpu_dt * 1e3, 2),
-            "tpu_train_step_ms": round(train_dt * 1e3, 2),
-            "train_vertices_per_sec": round(V / train_dt, 1),
+            "tpu_train_step_ms": (round(train_dt * 1e3, 2)
+                                  if train_dt == train_dt else None),
+            "train_vertices_per_sec": (round(V / train_dt, 1)
+                                       if train_dt == train_dt else None),
             "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
             "torch_cpu_vertices_per_sec": round(cpu_vps, 1),
         },
