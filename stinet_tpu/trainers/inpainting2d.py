@@ -162,7 +162,8 @@ class Inpainting2DTrainer(BaseTrainer):
                 "perceptual)")
             x = jnp.zeros((1, self.img_size, self.img_size, 3))
             variables = module.init(_jax.random.key(0), x)
-        return VGGLoss(variables, resize_to=224)
+        return VGGLoss(variables,
+                       resize_to=int(tcfg.get("vgg_resize", 224)))
 
     def _setup_fid(self, tcfg):
         import jax as _jax

@@ -21,6 +21,7 @@ def test_2d_trainer_with_vgg_and_fid(tmp_path):
         "use_val_fid": True,
         "use_train_fid": True,
         "epochs_per_fid": 1,
+        "vgg_resize": 32,
         "epochs": 1,
     })
     cfg = ConfigParser(config, dry_run=True)
