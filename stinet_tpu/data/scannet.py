@@ -18,19 +18,18 @@ dicts are also accepted (loaded via torch, converted once).
 Masks live in `masks/<mask_name>/<scene>/<i>.npz{vertex_mask}` exactly as the
 reference writes them (observed_texture_map_generation.py:616-650).
 """
-import dataclasses
 import glob
 import hashlib
 import os
 import random as _random
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 from stinet_tpu.core.registry import DATALOADERS
 from stinet_tpu.data.transforms import compose
 from stinet_tpu.graph.build import (
-    RawHierarchy, build_hierarchical_graph, bucket_size)
+    RawHierarchy, build_hierarchical_graph)
 
 _META = os.path.join(os.path.dirname(__file__), "meta", "scannet")
 SCANNET_TRAIN_FILE = os.path.join(_META, "scannetv2_train.txt")

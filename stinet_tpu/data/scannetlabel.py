@@ -15,11 +15,10 @@ import numpy as np
 
 from stinet_tpu.core.registry import DATALOADERS
 from stinet_tpu.data.scannet import (
-    ScanNetGraphColorDataSet, _SceneLoader, compare_train_val,
-    read_split, SCANNET_TRAIN_FILE, SCANNET_VAL_FILE, load_scene_npz,
-    load_scene_pt)
+    _SceneLoader, compare_train_val, read_split,
+    SCANNET_TRAIN_FILE, SCANNET_VAL_FILE, load_scene_npz, load_scene_pt)
 from stinet_tpu.data.transforms import compose
-from stinet_tpu.graph.build import RawHierarchy, build_hierarchical_graph
+from stinet_tpu.graph.build import RawHierarchy
 
 CLASS_LABELS = [
     "none", "wall", "floor", "cabinet", "bed", "chair", "sofa", "table",

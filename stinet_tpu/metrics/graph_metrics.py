@@ -8,9 +8,9 @@ All functions take valid masks/counts so pad rows/edges are excluded.
 """
 import jax.numpy as jnp
 
-from stinet_tpu.graph.hierarchy import EdgeSet, HierarchicalGraph
+from stinet_tpu.graph.hierarchy import EdgeSet
 from stinet_tpu.ops.message_passing import gather_edge_features, length_mask
-from stinet_tpu.ops.segment import segment_sum, segment_count
+from stinet_tpu.ops.segment import segment_sum
 
 _EPS = 1e-8
 

@@ -8,14 +8,14 @@ linear heads, spatially averaged and summed over stages.
 Weights (both the AlexNet trunk and the LPIPS linear heads) convert from the
 torch packages with `convert_torch_lpips`; without them the metric runs with
 random features (relative trends only — flagged by the caller)."""
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-_SHIFT = jnp.array([-0.030, -0.088, -0.188])
-_SCALE = jnp.array([0.458, 0.448, 0.450])
+# plain tuples: module-level jnp arrays would initialize the device backend
+# at import time
+_SHIFT = (-0.030, -0.088, -0.188)
+_SCALE = (0.458, 0.448, 0.450)
 
 # AlexNet feature config: (out_c, kernel, stride, pad)
 _ALEX = [(64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1), (256, 3, 1, 1),
@@ -49,8 +49,10 @@ class LPIPS:
 
     def __call__(self, x, y):
         """x, y: [N, H, W, 3] in [-1, 1]. Returns [N] distances."""
-        x = (x - _SHIFT) / _SCALE
-        y = (y - _SHIFT) / _SCALE
+        shift = jnp.asarray(_SHIFT, x.dtype)
+        scale = jnp.asarray(_SCALE, x.dtype)
+        x = (x - shift) / scale
+        y = (y - shift) / scale
         fx = self.module.apply(self.variables, x)
         fy = self.module.apply(self.variables, y)
         total = 0.0

@@ -10,7 +10,7 @@ Pretrained weights cannot be downloaded in this environment; use
 (pt_inception-2015-12-05) once and load it with flax serialization. Without
 weights the module still runs (random init) so FID plumbing is testable.
 """
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Activation checkpointing uses nn.remat on blocks, mirroring the reference's
 torch.utils.checkpoint placement (encoder/decoder blocks always, bottleneck
 blocks when `checkpoint_bottleneck`, surfacetextureinpaintingnet.py:429-455).
 """
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

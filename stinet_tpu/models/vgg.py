@@ -7,8 +7,6 @@ layer weights [0.125, 0.25, 0.5, 1.0] and Gram-matrix style loss.
 NHWC flax; pretrained torchvision weights are converted offline with
 `convert_torch_vgg16` (no download possible in this environment; without
 weights the loss still runs for plumbing tests)."""
-from typing import Optional, Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
@@ -19,8 +17,9 @@ _CFG = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
 # slice boundaries in torchvision feature indices: 4, 9, 16, 23
 _SLICE_AFTER_CONV = (2, 4, 7, 10)  # relu1_2, relu2_2, relu3_3, relu4_3
 
-_IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406])
-_IMAGENET_STD = jnp.array([0.229, 0.224, 0.225])
+# plain tuples (no device allocation at import)
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
 LAYER_WEIGHTS = (0.125, 0.25, 0.5, 1.0)
 
 
@@ -67,7 +66,8 @@ class VGGLoss:
         # [-1,1] -> [0,1], RGB->BGR swap as the reference does, normalize
         img = img / 2.0 + 0.5
         img = img[..., ::-1]
-        img = (img - _IMAGENET_MEAN) / _IMAGENET_STD
+        img = ((img - jnp.asarray(_IMAGENET_MEAN, img.dtype))
+               / jnp.asarray(_IMAGENET_STD, img.dtype))
         n = img.shape[0]
         return jax.image.resize(
             img, (n, self.resize_to, self.resize_to, 3), method="bilinear",

@@ -13,8 +13,6 @@ Sortedness: graph builders (`stinet_tpu.graph.build`) emit edges sorted by
 destination, letting XLA lower the scatter-add to a faster sorted-segment
 reduction (`indices_are_sorted=True`).
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -6,10 +6,7 @@ GSPMD propagates the graph's `data` sharding through gathers/segment ops
 usual automatic psum. One function covers dp (data axis), tp (model axis) and
 their product; pipeline/expert axes do not apply to this model family (no
 layer pipelining need at this scale, no MoE)."""
-from functools import partial
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from stinet_tpu.parallel.mesh import graph_sharding, param_sharding

@@ -20,7 +20,6 @@ mesh axis with XLA collectives on ICI:
 Both compute bit-identical results to the single-device ELL kernel on the
 locally owned vertex range.
 """
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -14,15 +14,13 @@ The dense projections (P/Q/Lin2/shortcut) stay OUTSIDE shard_map as plain
 sharded matmuls (GSPMD splits them over the vertex dim automatically), so
 only the genuinely communicating pieces are hand-scheduled.
 """
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from stinet_tpu.parallel.halo import build_halo_plan, HaloPlan
+from stinet_tpu.parallel.halo import HaloPlan
 
 
 def sharded_instance_norm(mesh: Mesh, axis: str = "data", eps: float = 1e-5):

@@ -13,7 +13,7 @@ instead of open3d, and output is npz (the loaders also accept reference .pt
 files).
 """
 import os
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 from scipy.spatial import cKDTree

@@ -2,7 +2,7 @@
 for ScanNet `_vh_clean_2.ply`-style meshes — replaces the reference's
 open3d/plyfile dependency for mesh IO."""
 import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

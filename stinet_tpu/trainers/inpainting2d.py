@@ -9,8 +9,6 @@ mask, D/G alternation with lsgan/vanilla losses). Metrics: loss/l1/mse/psnr
 per batch. VGG-perceptual and FID epoch metrics are provided by
 stinet_tpu.models.losses / stinet_tpu.metrics.fid when pretrained weights are
 available (weights are torch-converted offline; see models/losses.py)."""
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,7 @@ from stinet_tpu.models.gan_networks import gan_loss
 from stinet_tpu.models.losses import total_variation_loss
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
-    TrainState, build_optimizer, step_lr, make_inpainting_steps, host_metrics)
+    TrainState, build_optimizer, step_lr, host_metrics)
 
 
 @TRAINERS.register("Inpainting2DTrainer")

@@ -6,12 +6,9 @@ The serving export is the TPU-native analog of the reference's TorchScript
 export (model_io_utils.py:88-133): `jax.export` serializes the jitted
 forward (StableHLO) so it can be loaded and executed without Python model
 code."""
-import glob
-import os
-import re
 from pathlib import Path
 
-from stinet_tpu.core.checkpoint import latest_checkpoint, load_checkpoint
+from stinet_tpu.core.checkpoint import latest_checkpoint
 
 
 def list_runs(experiment_name: str, save_root: str = "saved"):

@@ -6,7 +6,6 @@ palette, and per-vertex label extraction from the ScanNet aggregation /
 segmentation JSON + label-map TSV files."""
 import csv
 import json
-import os
 
 import numpy as np
 
