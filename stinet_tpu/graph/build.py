@@ -156,7 +156,7 @@ def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
                    num_edges=np.int32(e), degree=degree, **kw)
 
 
-def _concat_features(arrs, widths_like, pad_rows, pad_value=0):
+def _concat_features(arrs, pad_rows, pad_value=0):
     a = np.concatenate(arrs, axis=0)
     if pad_rows > 0:
         pad_shape = (pad_rows,) + a.shape[1:]
@@ -241,13 +241,13 @@ def build_hierarchical_graph(
                 tr, int(totals[l]), coarse_pad, v_pad - 1))
 
     pad0 = int(v_buckets[0]) - int(totals[0])
-    x = _concat_features([s.x for s in samples], None, pad0)
-    color = _concat_features([s.color for s in samples], None, pad0)
-    mask = _concat_features([s.mask for s in samples], None, pad0)
+    x = _concat_features([s.x for s in samples], pad0)
+    color = _concat_features([s.color for s in samples], pad0)
+    mask = _concat_features([s.mask for s in samples], pad0)
     labels = None
     if samples[0].labels is not None:
         labels = _concat_features(
-            [s.labels for s in samples], None, pad0).astype(np.int32)
+            [s.labels for s in samples], pad0).astype(np.int32)
 
     ch = tuple(c[0] for c in children)
     cc = tuple(c[1] for c in children)

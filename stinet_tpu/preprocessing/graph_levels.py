@@ -93,7 +93,6 @@ def build_scene_levels(vertices: np.ndarray, faces: np.ndarray,
     out = {"num_levels": len(level_params),
            "dilation_dists": np.asarray(list(dilation_dists), np.int64)}
     cur_v, cur_f = vertices, faces
-    prev_identity = np.arange(len(vertices), dtype=np.int64)
 
     for l, param in enumerate(level_params):
         new_v, new_f, trace = decimate_level(cur_v, cur_f, param)
