@@ -375,6 +375,8 @@ class Inpainting2DTrainer(BaseTrainer):
 
     # ------------------------------------------------------------------
     def _train_epoch(self, epoch):
+        from stinet_tpu.trainers.inpainting3d import check_nan_in_params
+        check_nan_in_params(self.state.params, self.logger)
         self.train_metrics.reset()
         lr = jnp.float32(self.lr_fn(epoch))
         loader = self.data_loader.train_loader

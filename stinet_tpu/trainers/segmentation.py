@@ -124,6 +124,8 @@ class GraphSegmentationTrainer(BaseTrainer):
         return eval_step
 
     def _train_epoch(self, epoch):
+        from stinet_tpu.trainers.inpainting3d import check_nan_in_params
+        check_nan_in_params(self.state.params, self.logger)
         self.train_metrics.reset()
         iou = IoU(self.num_classes, ignore_index=0)
         lr = jnp.float32(self.lr_fn(epoch))
