@@ -335,9 +335,11 @@ class Inpainting2DTrainer(BaseTrainer):
                                 train=True)
                 lf = gan_loss(pf, False, gm_mode)
                 lr_ = gan_loss(pr, True, gm_mode)
-                return (lf + lr_) * 0.5, (lf, lr_)
+                acc_f = jnp.mean(1.0 - jax.nn.sigmoid(pf))
+                acc_r = jnp.mean(jax.nn.sigmoid(pr))
+                return (lf + lr_) * 0.5, (lf, lr_, acc_f, acc_r)
 
-            (dl, (lf, lr_)), dgrads = jax.value_and_grad(
+            (dl, (lf, lr_, acc_f, acc_r)), dgrads = jax.value_and_grad(
                 d_loss_fn, has_aux=True)(dstate.params)
             dupd, dopt = dtx.update(dgrads, dstate.opt_state, dstate.params)
             dupd = jax.tree.map(lambda u: u * lr, dupd)
@@ -368,7 +370,8 @@ class Inpainting2DTrainer(BaseTrainer):
 
             metrics = self._image_metrics(fake, graph, gl)
             metrics.update({"loss_D_fake": lf, "loss_D_real": lr_,
-                            "loss_G": lg})
+                            "loss_G": lg, "accuracy_D_fake": acc_f,
+                            "accuracy_D_real": acc_r})
             return state, dstate, metrics
 
         return jax.jit(gan_step, donate_argnums=(0, 1))

@@ -198,6 +198,16 @@ class GraphSegmentationTrainer(BaseTrainer):
         return log
 
     def _eval(self, mode):
+        if self.config["vis"]:
+            from stinet_tpu.data.scannetlabel import SCANNET_COLOR_MAP
+            from stinet_tpu.utils.visualization import SemSegVisualizer
+            vis = SemSegVisualizer(self.data_loader, SCANNET_COLOR_MAP,
+                                   "visualizations/")
+            for graph, names in self.data_loader.val_loader:
+                _, pred, _ = self._eval_step(self.state, graph)
+                n = int(graph.levels[0].num_vertices)
+                vis.visualize_result(names[0], np.asarray(pred)[:n],
+                                     np.asarray(graph.labels)[:n])
         log = self._valid_epoch(0)
         for key, value in log.items():
             self.logger.info("    %-15s: %s", str(key), value)
