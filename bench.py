@@ -215,7 +215,30 @@ def bench_torch_cpu(scene):
     return V / dt, dt
 
 
+def _device_responsive(timeout_s=180):
+    """Probe the device in a subprocess: a wedged TPU tunnel hangs any jax
+    call in-process, which would leave the driver with no output at all."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_responsive():
+        print(json.dumps({
+            "metric": "stinet3d_inference_vertices_per_sec_per_chip",
+            "value": 0, "unit": "vertices/s", "vs_baseline": 0,
+            "error": "device unreachable (tunnel hang); last measured result "
+                     "recorded in BENCH_NOTES.md"}))
+        return
     scene = build_scene()
     tpu_vps, tpu_dt, platform, train_dt = bench_tpu(scene)
     cpu_vps, cpu_dt = bench_torch_cpu(scene)
