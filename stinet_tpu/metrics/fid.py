@@ -25,10 +25,9 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    try:  # scipy < 1.17 returns (sqrtm, errest) with disp=False
-        covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
-    except (ValueError, TypeError):
-        covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if isinstance(covmean, tuple):  # scipy < 1.17 (sqrtm, errest)
+        covmean = covmean[0]
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm(
