@@ -65,7 +65,17 @@ class ConfigParser:
             args = args.parse_args()
 
         if getattr(args, "device", None) is not None:
-            os.environ["JAX_VISIBLE_DEVICES"] = args.device
+            # TPU-native analog of the reference's `-d` ->
+            # CUDA_VISIBLE_DEVICES (parse_config.py:77-78): a platform name
+            # ("cpu"/"tpu") selects the JAX backend — the axon TPU plugin
+            # overrides JAX_PLATFORMS at import, so set the config knob too —
+            # while a digit string selects visible devices.
+            if args.device.isdigit() or "," in args.device:
+                os.environ["JAX_VISIBLE_DEVICES"] = args.device
+            else:
+                os.environ["JAX_PLATFORMS"] = args.device
+                import jax
+                jax.config.update("jax_platforms", args.device)
         if args.resume is not None:
             resume = Path(args.resume)
             cfg_fname = resume.parent / "config.json"

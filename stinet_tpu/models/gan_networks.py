@@ -236,4 +236,11 @@ def get_scheduler(policy: str, args, n_epochs=100):
         def fn(epoch):
             return 0.5 * (1 + math.cos(math.pi * epoch / total))
         return fn
+    if policy == "plateau":
+        # reference gan_networks.py:57-59: ReduceLROnPlateau(mode='min',
+        # factor=0.2, threshold=0.01, patience=5); returns a stateful
+        # multiplier — the trainer feeds the monitored metric via observe()
+        from stinet_tpu.trainers.graph_common import PlateauLR
+        return PlateauLR(1.0, mode="min", factor=0.2, threshold=0.01,
+                         patience=5)
     raise NotImplementedError(f"lr policy {policy!r} not implemented")

@@ -136,31 +136,41 @@ ell_pool_mean.defvjp(_pool_mean_fwd, _pool_mean_bwd)
 
 @jax.custom_vjp
 def ell_pool_max(x, trace, children, counts):
-    return _pool_max_fwd_impl(x, children, counts)
+    return _pool_max_fwd_impl(x, children, counts)[0]
 
 
 def _pool_max_fwd_impl(x, children, counts):
+    """Returns (max, argmax-fine-index). The argmax records exactly one
+    achieving child per (segment, feature) — the lowest child slot — so the
+    backward routes the full gradient to a single element, matching
+    torch_scatter.scatter_max (reference pooling,
+    surfacetextureinpaintingnet.py:386)."""
     cnt = counts.astype(jnp.int32)
     neg = jnp.asarray(-jnp.inf, x.dtype)
     acc = jnp.full((children.shape[0], x.shape[1]), neg, x.dtype)
+    arg = jnp.full((children.shape[0], x.shape[1]), -1, jnp.int32)
     for c in range(children.shape[1]):
-        cand = jnp.where((c < cnt)[:, None], _row(x, children[:, c]), neg)
-        acc = jnp.maximum(acc, cand)
+        child = children[:, c].astype(jnp.int32)
+        cand = jnp.where((c < cnt)[:, None], _row(x, child), neg)
+        better = cand > acc  # strict: ties keep the earlier child
+        acc = jnp.where(better, cand, acc)
+        arg = jnp.where(better, child[:, None], arg)
     # empty segments -> 0 (torch_scatter parity, see ops/segment.py)
-    return jnp.where((cnt > 0)[:, None], acc, 0.0)
+    return jnp.where((cnt > 0)[:, None], acc, 0.0), arg
 
 
 def _pool_max_fwd(x, trace, children, counts):
-    out = _pool_max_fwd_impl(x, children, counts)
-    return out, (x, trace, out)
+    out, arg = _pool_max_fwd_impl(x, children, counts)
+    return out, (trace, arg)
 
 
 def _pool_max_bwd(res, g):
-    x, trace, out = res
-    # route gradient to children achieving the max (ties split, matching
-    # jax's scatter-max VJP behavior)
-    achieved = (x == _row(out, trace)).astype(x.dtype)
-    d_fine = _row(g, trace) * achieved
+    trace, arg = res
+    # gather-only backward: fine vertex f receives gradient iff it is THE
+    # recorded argmax of its parent segment (single-element routing)
+    fine_idx = jax.lax.broadcasted_iota(jnp.int32, (trace.shape[0], 1), 0)
+    routed = (_row(arg, trace) == fine_idx).astype(g.dtype)
+    d_fine = _row(g, trace) * routed
     return d_fine, None, None, None
 
 

@@ -13,6 +13,8 @@ Sortedness: graph builders (`stinet_tpu.graph.build`) emit edges sorted by
 destination, letting XLA lower the scatter-add to a faster sorted-segment
 reduction (`indices_are_sorted=True`).
 """
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -58,10 +60,18 @@ def segment_max(data, segment_ids, num_segments, indices_are_sorted=False,
     """Max of `data` rows per segment; empty segments yield `empty_value`.
 
     torch_scatter.scatter_max parity (reference
-    surfacetextureinpaintingnet.py:386): gradient flows to the argmax element
-    of each segment (jax scatter-max VJP). Empty segments are filled with
-    `empty_value` instead of -inf.
+    surfacetextureinpaintingnet.py:386): the gradient flows to exactly ONE
+    argmax element per (segment, feature) — torch_scatter records a single
+    argmax index and scatters the incoming gradient into it, whereas jax's
+    native scatter-max VJP splits ties across all achievers. Empty segments
+    are filled with `empty_value` instead of -inf.
     """
+    return _segment_max_single_arg(
+        data, segment_ids, num_segments, indices_are_sorted, empty_value)
+
+
+def _segment_max_raw(data, segment_ids, num_segments, indices_are_sorted,
+                     empty_value):
     m = jax.ops.segment_max(
         data, segment_ids, num_segments=num_segments,
         indices_are_sorted=indices_are_sorted)
@@ -70,7 +80,48 @@ def segment_max(data, segment_ids, num_segments, indices_are_sorted=False,
     nonempty = counts > 0
     if m.ndim > 1:
         nonempty = nonempty.reshape((-1,) + (1,) * (m.ndim - 1))
-    return jnp.where(nonempty, m, jnp.asarray(empty_value, dtype=m.dtype))
+    return jnp.where(nonempty, m, jnp.asarray(empty_value, dtype=m.dtype)), m
+
+
+def _row_idx(data):
+    n = data.shape[0]
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    if data.ndim == 1:
+        return idx[:, 0]
+    return jnp.broadcast_to(idx.reshape((n,) + (1,) * (data.ndim - 1)),
+                            data.shape)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _segment_max_single_arg(data, segment_ids, num_segments,
+                            indices_are_sorted, empty_value):
+    return _segment_max_raw(data, segment_ids, num_segments,
+                            indices_are_sorted, empty_value)[0]
+
+
+def _smax_fwd(data, segment_ids, num_segments, indices_are_sorted,
+              empty_value):
+    out, raw = _segment_max_raw(data, segment_ids, num_segments,
+                                indices_are_sorted, empty_value)
+    # one argmax per (segment, feature): highest data row index among
+    # achievers (any single achiever satisfies torch_scatter semantics)
+    idx = _row_idx(data)
+    cand = jnp.where(data == raw.at[segment_ids].get(
+        mode="promise_in_bounds"), idx, -1)
+    arg = jax.ops.segment_max(cand, segment_ids, num_segments=num_segments,
+                              indices_are_sorted=indices_are_sorted)
+    return out, (idx, segment_ids, arg)
+
+
+def _smax_bwd(num_segments, indices_are_sorted, empty_value, res, g):
+    idx, segment_ids, arg = res
+    routed = (idx == arg.at[segment_ids].get(
+        mode="promise_in_bounds")).astype(g.dtype)
+    d = g.at[segment_ids].get(mode="promise_in_bounds") * routed
+    return d, None
+
+
+_segment_max_single_arg.defvjp(_smax_fwd, _smax_bwd)
 
 
 def segment_max_int(data, segment_ids, num_segments, indices_are_sorted=False,

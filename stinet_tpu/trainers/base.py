@@ -55,6 +55,8 @@ class BaseTrainer:
             for key, value in log.items():
                 self.logger.info("    {:15s}: {}".format(str(key), value))
 
+            self._observe_lr(log)
+
             best = False
             if self.mnt_mode != "off":
                 if self.mnt_metric not in log:
@@ -86,6 +88,19 @@ class BaseTrainer:
                     self._save_checkpoint(epoch)
                 if best:
                     self._save_best(epoch)
+
+    def _observe_lr(self, log):
+        """Feed the monitored metric to stateful LR schedulers
+        (ReduceLROnPlateau parity: torch scheduler.step(metric) once per
+        epoch). Stateless schedulers' observe() is a no-op."""
+        fn = getattr(self, "lr_fn", None)
+        if fn is None or not hasattr(fn, "observe"):
+            return
+        key = getattr(self, "mnt_metric", None)
+        for k in (key, "val_loss", "loss"):
+            if k is not None and k in log:
+                fn.observe(log[k])
+                return
 
     def eval(self, mode):
         assert self.config.resume is not None, \

@@ -88,19 +88,102 @@ def build_optimizer(opt_config: Dict, num_accum: int = 1):
     return tx, float(args.get("lr", 1e-3))
 
 
+class FnLR:
+    """Callable epoch -> lr; `observe()` is a no-op (stateless policies)."""
+
+    def __init__(self, fn):
+        self._fn = fn
+
+    def __call__(self, epoch):
+        return self._fn(epoch)
+
+    def observe(self, value):
+        pass
+
+
+class PlateauLR:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics: the trainer
+    calls `observe(monitored_value)` once per epoch (BaseTrainer plumbs the
+    monitored metric, reference scheduler.step(metric)); `__call__(epoch)`
+    returns the current lr. Defaults match torch."""
+
+    def __init__(self, base_lr, mode="min", factor=0.1, patience=10,
+                 threshold=1e-4, threshold_mode="rel", cooldown=0,
+                 min_lr=0.0, eps=1e-8):
+        assert mode in ("min", "max") and threshold_mode in ("rel", "abs")
+        self.lr = float(base_lr)
+        self.mode, self.factor, self.patience = mode, factor, int(patience)
+        self.threshold, self.threshold_mode = threshold, threshold_mode
+        self.cooldown, self.min_lr, self.eps = int(cooldown), min_lr, eps
+        self.best = np.inf if mode == "min" else -np.inf
+        self.num_bad_epochs = 0
+        self.cooldown_counter = 0
+
+    def _is_better(self, a):
+        if self.mode == "min":
+            if self.threshold_mode == "rel":
+                return a < self.best * (1.0 - self.threshold)
+            return a < self.best - self.threshold
+        if self.threshold_mode == "rel":
+            return a > self.best * (1.0 + self.threshold)
+        return a > self.best + self.threshold
+
+    def __call__(self, epoch):
+        return self.lr
+
+    def observe(self, value):
+        if value is None:
+            return
+        value = float(value)
+        if self._is_better(value):
+            self.best = value
+            self.num_bad_epochs = 0
+        else:
+            self.num_bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.num_bad_epochs = 0
+        if self.num_bad_epochs > self.patience:
+            new_lr = max(self.lr * self.factor, self.min_lr)
+            if self.lr - new_lr > self.eps:
+                self.lr = new_lr
+            self.cooldown_counter = self.cooldown
+            self.num_bad_epochs = 0
+
+
 def step_lr(base_lr: float, scheduler_config: Dict):
-    """Epoch -> lr. StepLR parity: lr * gamma^(epoch // step_size)."""
+    """Epoch -> lr scheduler factory covering the torch.optim.lr_scheduler
+    policies the reference can reflect from config (parse_config init_obj;
+    reference steps once per epoch, so at epoch e — 1-indexed, queried at
+    epoch start — e-1 scheduler steps have happened)."""
     typ = scheduler_config.get("type", "StepLR")
     args = scheduler_config.get("args", {})
     if typ == "StepLR":
         step_size = int(args.get("step_size", 10**9))
         gamma = float(args.get("gamma", 1.0))
-        return lambda epoch: base_lr * gamma ** ((epoch - 1) // step_size)
+        return FnLR(lambda epoch: base_lr * gamma ** ((epoch - 1)
+                                                      // step_size))
     if typ in ("ConstantLR", "None", None):
-        return lambda epoch: base_lr
+        return FnLR(lambda epoch: base_lr)
     if typ == "ExponentialLR":
         gamma = float(args.get("gamma", 1.0))
-        return lambda epoch: base_lr * gamma ** (epoch - 1)
+        return FnLR(lambda epoch: base_lr * gamma ** (epoch - 1))
+    if typ == "CosineAnnealingLR":
+        t_max = float(args["T_max"])
+        eta_min = float(args.get("eta_min", 0.0))
+        return FnLR(lambda epoch: eta_min + (base_lr - eta_min) * 0.5
+                    * (1.0 + np.cos(np.pi * (epoch - 1) / t_max)))
+    if typ == "LinearLR":
+        start = float(args.get("start_factor", 1.0 / 3.0))
+        end = float(args.get("end_factor", 1.0))
+        total = int(args.get("total_iters", 5))
+        return FnLR(lambda epoch: base_lr * (
+            start + (end - start) * min(epoch - 1, total) / total))
+    if typ == "ReduceLROnPlateau":
+        return PlateauLR(base_lr, **{
+            k: v for k, v in args.items()
+            if k in ("mode", "factor", "patience", "threshold",
+                     "threshold_mode", "cooldown", "min_lr", "eps")})
     raise NotImplementedError(f"lr scheduler {typ!r}")
 
 

@@ -402,6 +402,7 @@ class Inpainting2DTrainer(BaseTrainer):
                     self._progress(batch_idx, len_epoch), m["loss"])
         self.writer.set_step(epoch - 1, "epoch_train", quiet=True)
         log = self.train_metrics.result(write=True)
+        log["lr"] = float(lr)
         if (self._fid is not None and self.use_train_fid
                 and epoch % self.epochs_per_fid == 0):
             log["train_fid"] = self._train_fid()

@@ -116,6 +116,7 @@ class Inpainting3DTrainer(BaseTrainer):
 
         self.writer.set_step(epoch - 1, "epoch_train", quiet=True)
         log = self.train_metrics.result(write=True)
+        log["lr"] = float(lr)
         if self.do_validation:
             val_log = self._valid_epoch(epoch)
             log.update(**{"val_" + k: v for k, v in val_log.items()})

@@ -142,6 +142,7 @@ class GraphSegmentationTrainer(BaseTrainer):
                 self.logger.debug(":Train Epoch: %s %s", epoch,
                                   self._progress(batch_idx, len_epoch))
         log = self.train_metrics.result(write=True)
+        log["lr"] = float(lr)
         _, miou = iou.value()
         log["mean_iou"] = float(miou)
         if self.do_validation:

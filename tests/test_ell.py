@@ -140,3 +140,45 @@ def test_hybrid_spill_matches_coo(rng):
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_ell_pool_max_tie_grad_routes_to_single_child(rng):
+    """With pooling_type "max" (the flagship config) torch_scatter routes
+    the gradient to a single argmax child; plateaued (tied) features must
+    not receive duplicated gradient (VERDICT r1 item 8)."""
+    from stinet_tpu.ops.ell import ell_pool_max
+    from stinet_tpu.ops.segment import segment_max
+
+    v_fine_pad, v_coarse_pad, h = 8, 4, 3
+    # fine 0..4 valid; trace: coarse0 <- {0,1,2}, coarse1 <- {3,4};
+    # pad fine vertices trace to the coarse trash (3)
+    trace = jnp.asarray([0, 0, 0, 1, 1, 3, 3, 3], jnp.int32)
+    children = jnp.asarray([[0, 1, 2], [3, 4, 7], [7, 7, 7], [7, 7, 7]],
+                           jnp.int32)
+    counts = jnp.asarray([3.0, 2.0, 0.0, 0.0], jnp.float32)
+
+    x = np.zeros((v_fine_pad, h), np.float32)
+    x[:5] = rng.normal(size=(5, h))
+    x[1] = x[0]  # full tie between children 0 and 1 of coarse 0
+    x[4, 0] = x[3, 0]  # partial tie in coarse 1, feature 0
+    x = jnp.asarray(x)
+
+    def loss(x_):
+        return jnp.sum(ell_pool_max(x_, trace, children, counts))
+
+    g = np.asarray(jax.grad(loss)(x))
+    xf = np.asarray(x)
+    for (coarse, members) in ((0, [0, 1, 2]), (1, [3, 4])):
+        sub_g, sub_x = g[members], xf[members]
+        for f in range(h):
+            col = sub_g[:, f]
+            assert np.count_nonzero(col) == 1, (coarse, f, col)
+            assert col.sum() == 1.0
+            assert sub_x[np.argmax(col), f] == sub_x[:, f].max()
+    # padded fine vertices receive nothing
+    np.testing.assert_allclose(g[5:], 0.0)
+
+    # forward still matches the COO segment path
+    want = np.asarray(segment_max(x, trace, v_coarse_pad))
+    got = np.asarray(ell_pool_max(x, trace, children, counts))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
