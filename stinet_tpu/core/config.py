@@ -8,6 +8,7 @@ next to the checkpoint. Object construction goes through typed registries
 import json
 import logging
 import os
+import subprocess
 from datetime import datetime
 from functools import reduce
 from operator import getitem
@@ -51,6 +52,15 @@ class ConfigParser:
         self._log_dir = save_root / "log" / exper_name / run_id
 
         if not dry_run:
+            # tag the current commit per run (reference parse_config.py:44-45;
+            # best-effort — absent/odd git states must never block training)
+            if not os.environ.get("STINET_DISABLE_GIT_TAG"):
+                try:
+                    subprocess.run(
+                        ["git", "tag", f"{exper_name}_{run_id}"],
+                        capture_output=True, timeout=10, check=False)
+                except Exception:
+                    pass
             self.save_dir.mkdir(parents=True, exist_ok=True)
             self.log_dir.mkdir(parents=True, exist_ok=True)
             write_json(self.config, self.save_dir / "config.json")

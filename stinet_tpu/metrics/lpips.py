@@ -49,6 +49,11 @@ class LPIPS:
 
     def __call__(self, x, y):
         """x, y: [N, H, W, 3] in [-1, 1]. Returns [N] distances."""
+        if min(x.shape[1], x.shape[2]) < 32:
+            raise ValueError(
+                f"LPIPS(alex) needs images >= 32px per side, got "
+                f"{x.shape[1]}x{x.shape[2]} (the stride-4 trunk collapses "
+                "smaller inputs to empty feature maps)")
         shift = jnp.asarray(_SHIFT, x.dtype)
         scale = jnp.asarray(_SCALE, x.dtype)
         x = (x - shift) / scale
@@ -67,12 +72,17 @@ class LPIPS:
 
 
 def convert_torch_lpips(alex_state_dict, lpips_state_dict=None):
-    """torchvision alexnet.features + lpips lin weights -> flax trees."""
+    """torchvision alexnet.features + lpips lin weights -> flax trees.
+
+    Accepts any of the key layouts in the wild: 'features.N.weight' /
+    'N.weight' (torchvision alexnet), 'net.sliceK.N.weight' (the lpips
+    package's sliced copy), and 'lin{i}.model.1.weight' (lpips linear
+    heads). Missing lin keys yield lins=None (unweighted stage means)."""
     import numpy as np
     conv_torch_idx = [0, 3, 6, 8, 10]
     params = {}
     for i, ti in enumerate(conv_torch_idx):
-        for prefix in (f"features.{ti}", str(ti)):
+        for prefix in (f"features.{ti}", str(ti), f"net.slice{i + 1}.{ti}"):
             wkey = prefix + ".weight"
             if wkey in alex_state_dict:
                 params[f"conv_{i}"] = {
@@ -81,8 +91,13 @@ def convert_torch_lpips(alex_state_dict, lpips_state_dict=None):
                     "bias": np.asarray(alex_state_dict[prefix + ".bias"]),
                 }
                 break
+        else:
+            raise KeyError(
+                f"AlexNet conv {i} (torch features index {ti}) not found in "
+                "state dict")
     lins = None
-    if lpips_state_dict is not None:
+    if lpips_state_dict is not None and \
+            "lin0.model.1.weight" in lpips_state_dict:
         lins = []
         for i in range(5):
             key = f"lin{i}.model.1.weight"
