@@ -152,12 +152,13 @@ class QemMesh {
       Vec3 target;
       collapseTarget(u, v, &target);
       if (flipsFace(u, v, target) && live_vertices_ > target_nv + 8) {
-        // retry later with a penalty unless we are nearly done
-        heap.push({e.cost * 1.5 + 1e-9, e.u, e.v,
-                   version_[e.u] + version_[e.v]});
-        // avoid infinite loops: mark via small epsilon growth; bounded since
-        // cost strictly grows
-        if (e.cost > 1e18) continue;
+        // retry later with a strictly growing penalty; once the cost passes
+        // 1e18 the edge is permanently rejected instead of re-queued, which
+        // bounds the loop (every entry either collapses, goes stale, or is
+        // re-pushed finitely many times before crossing the threshold)
+        if (e.cost < 1e18)
+          heap.push({e.cost * 1.5 + 1e-9, e.u, e.v,
+                     version_[e.u] + version_[e.v]});
         continue;
       }
       collapse(u, v, target);

@@ -264,3 +264,77 @@ def test_crop_scene(rng):
     assert crop["traces_1"].max() < crop["vertices_2"].shape[0]
     # edges reference crop-local ids
     assert crop["edges_0"].max() < nv0
+
+
+def wavy_mesh(n=50, amp=1.5):
+    """Smooth curved terrain — a realistic stand-in for a room surface."""
+    xs, ys = np.meshgrid(np.arange(n, dtype=np.float64),
+                         np.arange(n, dtype=np.float64), indexing="ij")
+    z = amp * (np.sin(xs * 0.3) + np.cos(ys * 0.25))
+    v = np.stack([xs.ravel(), ys.ravel(), z.ravel()], axis=1)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            faces.append([a, a + 1, a + n])
+            faces.append([a + 1, a + n + 1, a + n])
+    return v, np.asarray(faces, np.int64)
+
+
+def _mean_edge_len(v, e):
+    return float(np.linalg.norm(v[e[0]] - v[e[1]], axis=1).mean())
+
+
+def test_qem_full_ladder_statistics():
+    """Full reference '100 30 30 30' decimation ladder on a realistic mesh:
+    level sizes track the ratio, traces stay surjective, geometric error
+    stays small relative to the coarsening, and mean edge length grows
+    ~1/sqrt(0.3) per level — the documented behavior of vcglib tridecimator
+    -On -C on surface meshes (reference graph_level_generation.py:248-249,
+    preprocess_3d_inpainting.sh level params)."""
+    v, f = wavy_mesh(50)
+    levels = build_scene_levels(v, f, None, None,
+                                level_params=["100", "30", "30", "30"])
+    sizes = [len(levels[f"vertices_{l}"]) for l in range(4)]
+    assert sizes[0] == 2500  # "100" is the identity level
+    for l in range(1, 4):
+        want = int(sizes[l - 1] * 0.3)
+        # QEM stops at the first collapse reaching <= target
+        assert want - 2 <= sizes[l] <= int(want * 1.1) + 2, (l, sizes)
+
+    prev_pos = v
+    prev_mel = _mean_edge_len(
+        v.astype(np.float64), levels["edges_0"])
+    for l in range(1, 4):
+        verts = levels[f"vertices_{l}"][:, :3].astype(np.float64)
+        trace = levels[f"traces_{l}"]
+        edges = levels[f"edges_{l}"]
+        # surjective trace from the previous level
+        assert trace.shape[0] == sizes[l - 1]
+        assert set(np.unique(trace)) == set(range(sizes[l]))
+        # quadric-error proxy: distance from each previous-level vertex to
+        # its representative stays bounded by the current resolution
+        mel = _mean_edge_len(verts, edges)
+        d = np.linalg.norm(prev_pos - verts[trace], axis=1)
+        assert np.median(d) < 1.5 * mel, (l, np.median(d), mel)
+        assert np.quantile(d, 0.95) < 4.0 * mel, (l, np.quantile(d, 0.95))
+        # optimal-placement quality: representatives stay near the surface
+        # (amp*2 bounds the height field; collapses must not fly off)
+        assert np.abs(verts[:, 2]).max() < 3.5
+        # mean edge length grows like 1/sqrt(keep_ratio) per level
+        growth = mel / prev_mel
+        assert 1.25 < growth < 2.8, (l, growth)
+        # faces stay non-degenerate
+        fc = levels.get(f"edges_{l}")
+        assert (edges[0] != edges[1]).all()
+        prev_pos, prev_mel = verts, mel
+
+
+def test_qem_flip_guard_terminates_under_pressure(rng):
+    """Aggressive decimation of a noisy mesh exercises the flip-guard retry
+    path; the loop must terminate (bounded cost growth) and still emit a
+    valid surjective trace."""
+    v, f = grid_mesh(25, noise=0.35, rng=rng)
+    out_v, out_f, trace = native.qem_decimate(v, f, 12)
+    assert 4 <= len(out_v) <= 40
+    assert set(np.unique(trace)) == set(range(len(out_v)))
