@@ -119,7 +119,32 @@ def bench_tpu(scene):
         params2, opt_state, out = train_step(params2, opt_state, graph, out)
     float(jnp.sum(out))
     train_dt = (time.perf_counter() - t0) / train_iters
-    return V / dt, dt, jax.devices()[0].platform, train_dt
+
+    # tertiary: bf16 forward (f32 accumulators in all reductions); headline
+    # stays f32 for PSNR-parity defensibility
+    bf16_dt = float("nan")
+    if time.perf_counter() - _START < float(
+            os.environ.get("BENCH_TRAIN_BUDGET_S", 360)) and DTYPE == "float32":
+        model16 = define_G(
+            input_nc=10, output_nc=3, ngf=NGF, n_blocks=N_BLOCKS,
+            dilations=DILATIONS, norm="instance", pooling_type="max",
+            n_levels=2, n_repeated_io_convs=1,
+            filter_type="edgeconvtransinv", dtype="bfloat16")
+
+        @jax.jit
+        def chain16(params, graph, out):
+            x = graph.x.at[:, 0:3].add(out * 1e-6)
+            return model16.apply({"params": params},
+                                 dataclasses.replace(graph, x=x))
+
+        out = chain16(params, graph, out.astype(jnp.float32))
+        float(jnp.sum(out.astype(jnp.float32)))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = chain16(params, graph, out)
+        float(jnp.sum(out.astype(jnp.float32)))
+        bf16_dt = (time.perf_counter() - t0) / ITERS
+    return V / dt, dt, jax.devices()[0].platform, train_dt, bf16_dt
 
 
 def bench_torch_cpu(scene):
@@ -231,16 +256,22 @@ def _device_responsive(timeout_s=180):
         return False
 
 
-def main():
-    if not _device_responsive():
-        print(json.dumps({
-            "metric": "stinet3d_inference_vertices_per_sec_per_chip",
-            "value": 0, "unit": "vertices/s", "vs_baseline": 0,
-            "error": "device unreachable (tunnel hang); last measured result "
-                     "recorded in BENCH_NOTES.md"}))
-        return
+# Round-1 self-measured result (BENCH_NOTES.md), embedded in error JSONs so
+# a dead tunnel still reports the last known-good measurement.
+_LAST_GOOD = {
+    "value": 4039182.7, "vs_baseline": 2644.4, "tpu_ms_per_scene": 16.23,
+    "measured": "2026-08-16 round 1 (self-reported, tunnel died before the "
+                "driver capture)"}
+
+
+def _worker():
+    # honor an explicit platform request (the axon plugin overrides the
+    # JAX_PLATFORMS env var at import time, so set the config knob too)
+    if os.environ.get("BENCH_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     scene = build_scene()
-    tpu_vps, tpu_dt, platform, train_dt = bench_tpu(scene)
+    tpu_vps, tpu_dt, platform, train_dt, bf16_dt = bench_tpu(scene)
     cpu_vps, cpu_dt = bench_torch_cpu(scene)
     print(json.dumps({
         "metric": "stinet3d_inference_vertices_per_sec_per_chip",
@@ -254,11 +285,59 @@ def main():
                                   if train_dt == train_dt else None),
             "train_vertices_per_sec": (round(V / train_dt, 1)
                                        if train_dt == train_dt else None),
+            "bf16_ms_per_scene": (round(bf16_dt * 1e3, 2)
+                                  if bf16_dt == bf16_dt else None),
             "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
             "torch_cpu_vertices_per_sec": round(cpu_vps, 1),
         },
     }))
 
 
+def main():
+    """Driver entry: bounded retries around a subprocess worker so a tunnel
+    that wedges MID-measurement still yields a JSON line (VERDICT r1 item 1:
+    retries + reconnect + partial-result error JSON)."""
+    import subprocess
+    import sys
+
+    retries = int(os.environ.get("BENCH_RETRIES", 3))
+    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT_S", 90))
+    worker_timeout = float(os.environ.get("BENCH_WORKER_TIMEOUT_S", 1500))
+
+    last_error = "device unreachable (tunnel hang)"
+    for attempt in range(retries):
+        if attempt:
+            time.sleep(retry_wait)
+        if not _device_responsive():
+            last_error = "device unreachable (tunnel hang)"
+            continue
+        try:
+            r = subprocess.run([sys.executable, __file__, "--worker"],
+                               timeout=worker_timeout, capture_output=True,
+                               text=True)
+        except subprocess.TimeoutExpired:
+            last_error = f"worker timeout after {worker_timeout}s"
+            continue
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            print(line)
+            return
+        last_error = (f"worker rc={r.returncode}: "
+                      + (r.stderr or "")[-400:].replace("\n", " | "))
+    print(json.dumps({
+        "metric": "stinet3d_inference_vertices_per_sec_per_chip",
+        "value": 0, "unit": "vertices/s", "vs_baseline": 0,
+        "error": f"{last_error}; after {retries} attempts. Last good "
+                 "self-measured result embedded in detail.",
+        "detail": {"last_self_measured": _LAST_GOOD}}))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--worker" in sys.argv:
+        _worker()
+    else:
+        main()

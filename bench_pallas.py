@@ -1,0 +1,107 @@
+"""Microbenchmark: Pallas DMA-pipeline gather vs the XLA unrolled ELL path,
+on real TPU hardware (run when the axon tunnel is alive). Prints one JSON
+line per shape; results go into ops/pallas/README.md either way
+(VERDICT r1 item 3).
+
+Also times the opt-in Pallas instance norm vs the XLA masked_instance_norm
+(graduating it from interpret-mode-only validation)."""
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+
+def _sync(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x))  # device->host readback = hard sync on axon
+
+
+def time_fn(fn, *args, iters=30):
+    out = fn(*args)
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from stinet_tpu.ops.ell import ell_edge_conv_sum
+    from stinet_tpu.ops.pallas.gather_pipeline import pallas_ell_edge_conv_sum
+
+    rng = np.random.default_rng(0)
+    platform = jax.devices()[0].platform
+    shapes = [
+        # (V, H, D) — level-0 io blocks, encoder level-1, bottleneck level-2
+        (65536, 128, 12),
+        (19712, 256, 12),
+        (6016, 512, 16),
+    ]
+    results = []
+    for v, h, d in shapes:
+        v_pad = -(-v // 512) * 512
+        p = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+        q = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+        deg = jnp.asarray(
+            rng.integers(4, d + 1, size=v_pad).astype(np.float32))
+        nbr = jnp.asarray(rng.integers(0, v_pad, size=(v_pad, d))
+                          .astype(np.int32))
+        rev = jnp.asarray(rng.integers(0, v_pad, size=(v_pad, d))
+                          .astype(np.int32))
+
+        xla = jax.jit(lambda p, q: ell_edge_conv_sum(p, q, nbr, rev, deg,
+                                                     deg))
+        t_xla = time_fn(xla, p, q)
+
+        row = {"shape": [v_pad, h, d], "xla_ms": round(t_xla * 1e3, 3)}
+        for tile in (128, 256, 512):
+            try:
+                pk = jax.jit(lambda p, q, t=tile: pallas_ell_edge_conv_sum(
+                    p, q, nbr, deg, tile=t))
+                t_pal = time_fn(pk, p, q)
+                # correctness spot check on hardware
+                a = np.asarray(pk(p, q))
+                b = np.asarray(xla(p, q))
+                ok = bool(np.allclose(a, b, rtol=1e-4, atol=1e-4))
+                row[f"pallas_t{tile}_ms"] = round(t_pal * 1e3, 3)
+                row[f"pallas_t{tile}_ok"] = ok
+            except Exception as e:  # compile failures are a result too
+                row[f"pallas_t{tile}_error"] = str(e)[-200:]
+        results.append(row)
+        print(json.dumps({"bench": "ell_gather", "platform": platform,
+                          **row}))
+
+    # instance norm: pallas two-pass kernel vs XLA masked norm
+    try:
+        from stinet_tpu.ops.pallas.instance_norm import pallas_instance_norm
+        from stinet_tpu.ops.norms import masked_instance_norm
+        v_pad, h = 65536, 128
+        x = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+        nv = jnp.int32(v_pad - 100)
+        gid = jnp.zeros(v_pad, jnp.int32)
+        from stinet_tpu.ops.message_passing import length_mask
+        vm = length_mask(nv, v_pad)
+        t_x = time_fn(jax.jit(
+            lambda x: masked_instance_norm(x, gid, 1, vm)), x)
+        t_p = time_fn(jax.jit(
+            lambda x: pallas_instance_norm(x, nv)), x)
+        a = np.asarray(jax.jit(lambda x: pallas_instance_norm(x, nv))(x))
+        b = np.asarray(jax.jit(
+            lambda x: masked_instance_norm(x, gid, 1, vm))(x))
+        print(json.dumps({
+            "bench": "instance_norm", "platform": platform,
+            "xla_ms": round(t_x * 1e3, 3), "pallas_ms": round(t_p * 1e3, 3),
+            "ok": bool(np.allclose(a, b, rtol=1e-4, atol=1e-4))}))
+    except Exception as e:
+        print(json.dumps({"bench": "instance_norm",
+                          "error": str(e)[-200:]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,19 +67,22 @@ def _bwd_rule(res, g):
     p, q, nbr, rev_dst, deg_in, deg_out = res
     deg_i = deg_in.astype(jnp.int32)
     deg_o = deg_out.astype(jnp.int32)
+    # accumulate gradients in >= f32: bf16 accumulation over D slots both
+    # drifts and compiles to a pathological chain of sub-f32 adds on TPU
+    acc_dt = jnp.promote_types(p.dtype, jnp.float32)
 
-    dp = jnp.zeros_like(p)
+    dp = jnp.zeros(p.shape, acc_dt)
     for d in range(nbr.shape[1]):
-        grad_mask = (p + _row(q, nbr[:, d]) > 0).astype(p.dtype)
+        grad_mask = (p + _row(q, nbr[:, d]) > 0).astype(acc_dt)
         dp = dp + jnp.where((d < deg_i)[:, None],
-                            (g * grad_mask).astype(p.dtype), 0.0)
+                            g.astype(acc_dt) * grad_mask, 0.0)
 
-    dq = jnp.zeros_like(q)
+    dq = jnp.zeros(q.shape, acc_dt)
     for j in range(rev_dst.shape[1]):
         i = rev_dst[:, j]
-        contrib = _row(g, i) * (_row(p, i) + q > 0).astype(q.dtype)
-        dq = dq + jnp.where((j < deg_o)[:, None],
-                            contrib.astype(q.dtype), 0.0)
+        contrib = (_row(g, i).astype(acc_dt)
+                   * (_row(p, i) + q > 0).astype(acc_dt))
+        dq = dq + jnp.where((j < deg_o)[:, None], contrib, 0.0)
     return dp.astype(p.dtype), dq.astype(q.dtype), None, None, None, None
 
 
