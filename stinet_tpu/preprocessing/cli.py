@@ -66,6 +66,35 @@ def cmd_masks(args):
         print(f"{os.path.basename(path)}: {len(written)} masks", flush=True)
 
 
+def cmd_observer_masks(args):
+    """Observers-mode masks (reference subparser `observers`,
+    observed_texture_map_generation.py:715-733): needs the original mesh
+    plys (--scans) and per-scene ScanNet pose dirs (--poses/<scene>/*.txt)."""
+    from stinet_tpu.preprocessing.masks import (
+        generate_observer_masks_for_scene, load_scannet_poses)
+    from stinet_tpu.preprocessing.plyio import read_ply
+    fx, fy, cx, cy = [float(t) for t in args.intrinsics.split(",")]
+    w, h = [int(t) for t in args.img_wh.split(",")]
+    for path in sorted(glob.glob(os.path.join(args.graphs, "graphs",
+                                              "*.npz"))):
+        scene = os.path.basename(path).replace(".npz", "")
+        plys = glob.glob(os.path.join(args.scans, scene, "*.ply")) or \
+            glob.glob(os.path.join(args.scans, f"{scene}.ply"))
+        pose_dir = os.path.join(args.poses, scene)
+        if not plys or not os.path.isdir(pose_dir):
+            print(f"{scene}: missing mesh or poses, skipped", flush=True)
+            continue
+        mesh = read_ply(plys[0])
+        verts, faces = mesh["vertices"], mesh["faces"]
+        poses = load_scannet_poses(pose_dir)
+        written = generate_observer_masks_for_scene(
+            path, verts, faces, poses, os.path.join(args.out, "masks"),
+            args.mask_name, intrinsics=(fx, fy, cx, cy), width=w, height=h,
+            num_masks=args.num_masks, min_views=args.min_views,
+            pose_fraction=args.pose_fraction, seed=args.seed)
+        print(f"{scene}: {len(written)} observer masks", flush=True)
+
+
 def main():
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -100,6 +129,20 @@ def main():
     m.add_argument("--frac-masked", type=float, default=0.2)
     m.add_argument("--seed", type=int, default=0)
     m.set_defaults(fn=cmd_masks)
+
+    o = sub.add_parser("observer-masks")
+    o.add_argument("--graphs", required=True)
+    o.add_argument("--scans", required=True)
+    o.add_argument("--poses", required=True)
+    o.add_argument("--out", required=True)
+    o.add_argument("--mask-name", default="observers")
+    o.add_argument("--num-masks", type=int, default=16)
+    o.add_argument("--min-views", type=int, default=1)
+    o.add_argument("--pose-fraction", type=float, default=0.25)
+    o.add_argument("--intrinsics", default="577.87,577.87,319.5,239.5")
+    o.add_argument("--img-wh", default="640,480")
+    o.add_argument("--seed", type=int, default=0)
+    o.set_defaults(fn=cmd_observer_masks)
 
     args = p.parse_args()
     args.fn(args)

@@ -35,6 +35,9 @@ def get_lib():
     lib.cluster_decimate.restype = ctypes.c_int
     lib.cluster_decimate.argtypes = [ctypes.c_int, ctypes.c_int, dp, ip,
                                      ctypes.c_double, dp, ip, ip, ip]
+    lib.rasterize_depth.restype = None
+    lib.rasterize_depth.argtypes = [ctypes.c_int, ctypes.c_int, dp, ip,
+                                    ctypes.c_int, ctypes.c_int, dp]
     _lib = lib
     return lib
 
@@ -82,3 +85,18 @@ def cluster_decimate(vertices: np.ndarray, faces: np.ndarray,
         _as_c(trace, ctypes.c_int))
     return (out_v[:out_nv].copy(), out_f[:int(out_nf[0])].copy(),
             trace.astype(np.int64))
+
+
+def rasterize_depth(points_px: np.ndarray, faces: np.ndarray,
+                    width: int, height: int) -> np.ndarray:
+    """Z-buffer of the mesh given projected vertices [N, 3] =
+    (pixel_x, pixel_y, camera_depth). Returns [height, width] float64
+    (+inf where nothing renders)."""
+    lib = get_lib()
+    p = np.ascontiguousarray(points_px, dtype=np.float64)
+    f = np.ascontiguousarray(faces, dtype=np.int32)
+    zbuf = np.full(height * width, np.inf, np.float64)
+    lib.rasterize_depth(len(p), len(f), _as_c(p, ctypes.c_double),
+                        _as_c(f, ctypes.c_int), int(width), int(height),
+                        _as_c(zbuf, ctypes.c_double))
+    return zbuf.reshape(height, width)

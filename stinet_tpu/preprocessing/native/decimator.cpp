@@ -368,4 +368,42 @@ int cluster_decimate(int nv, int nf, const double* verts, const int* faces,
   return out_n;
 }
 
+// Depth rasterization for observer-visibility masks (the reference's
+// observers mode renders with pytorch3d, observed_texture_map_generation.py
+// :159-267 — inert there; this is the native replacement). `pts` holds
+// projected vertices [nv, 3] = (pixel_x, pixel_y, camera_depth); faces with
+// any vertex behind the camera (depth <= 0) are skipped. zbuf [h*w] must be
+// pre-filled with +inf by the caller.
+void rasterize_depth(int nv, int nf, const double* pts, const int* faces,
+                     int width, int height, double* zbuf) {
+  (void)nv;
+  for (int f = 0; f < nf; ++f) {
+    const int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+    const double ax = pts[3 * a], ay = pts[3 * a + 1], az = pts[3 * a + 2];
+    const double bx = pts[3 * b], by = pts[3 * b + 1], bz = pts[3 * b + 2];
+    const double cx = pts[3 * c], cy = pts[3 * c + 1], cz = pts[3 * c + 2];
+    if (az <= 0 || bz <= 0 || cz <= 0) continue;
+    const double area = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax);
+    if (std::abs(area) < 1e-12) continue;
+    int x0 = std::max(0, (int)std::floor(std::min({ax, bx, cx})));
+    int x1 = std::min(width - 1, (int)std::ceil(std::max({ax, bx, cx})));
+    int y0 = std::max(0, (int)std::floor(std::min({ay, by, cy})));
+    int y1 = std::min(height - 1, (int)std::ceil(std::max({ay, by, cy})));
+    const double inv_area = 1.0 / area;
+    for (int y = y0; y <= y1; ++y) {
+      for (int x = x0; x <= x1; ++x) {
+        const double px = x + 0.5, py = y + 0.5;
+        double w0 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * inv_area;
+        double w1 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * inv_area;
+        // barycentric w.r.t. vertex order: lambda_c = w0, lambda_a = w1
+        const double lc = w0, la = w1, lb = 1.0 - la - lc;
+        if (la < -1e-9 || lb < -1e-9 || lc < -1e-9) continue;
+        const double z = la * az + lb * bz + lc * cz;
+        double& cell = zbuf[y * width + x];
+        if (z < cell) cell = z;
+      }
+    }
+  }
+}
+
 }  // extern "C"

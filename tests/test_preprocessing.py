@@ -338,3 +338,52 @@ def test_qem_flip_guard_terminates_under_pressure(rng):
     out_v, out_f, trace = native.qem_decimate(v, f, 12)
     assert 4 <= len(out_v) <= 40
     assert set(np.unique(trace)) == set(range(len(out_v)))
+
+
+def test_rasterizer_occlusion_and_observers_mask(rng):
+    """Observers-mode masks: a front plane occludes half of a back plane;
+    occluded vertices are masked, directly-seen ones are not."""
+    from stinet_tpu.preprocessing.masks import (
+        pose_visibility, observers_mask)
+
+    # back plane z=5 spanning x,y in [-2, 2] (10x10 grid)
+    n = 10
+    xs, ys = np.meshgrid(np.linspace(-2, 2, n), np.linspace(-2, 2, n),
+                         indexing="ij")
+    back_v = np.stack([xs.ravel(), ys.ravel(), np.full(n * n, 5.0)], 1)
+    back_f = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            back_f += [[a, a + 1, a + n], [a + 1, a + n + 1, a + n]]
+    # front occluder at z=2.5 covering the x<0 half of the view frustum
+    occ_v = np.array([[-2.0, -2.0, 2.5], [0.0, -2.0, 2.5],
+                      [0.0, 2.0, 2.5], [-2.0, 2.0, 2.5]])
+    occ_f = [[0, 1, 2], [0, 2, 3]]
+    v = np.concatenate([back_v, occ_v])
+    f = np.asarray(back_f + [[i + n * n for i in t] for t in occ_f],
+                   np.int64)
+
+    w, h = 160, 160
+    K = (60.0, 60.0, w / 2, h / 2)
+    cam = np.eye(4)  # camera at origin looking +z
+    vis = pose_visibility(v, f, cam, K, w, h)
+    back_vis = vis[:n * n]
+    back_x = back_v[:, 0]
+    # strictly occluded region (margin for pixel quantization at the edge)
+    assert not back_vis[back_x < -0.2].any()
+    assert back_vis[back_x > 0.2].all()
+    assert vis[n * n:].all()  # occluder itself fully visible
+
+    # second camera far to the +x side sees the occluded half
+    cam2 = np.eye(4)
+    cam2[:3, 3] = [1.5, 0.0, 0.0]  # shift view left in camera frame
+    mask = observers_mask(v, f, [cam, cam2], K, w, h, min_views=2,
+                          pose_fraction=1.0, rng=rng)
+    # occluded-for-both region stays masked under min_views=2...
+    assert mask[:n * n][back_x < -0.2].all()
+    # ...and only the region seen by BOTH cameras is unmasked: from cam2 at
+    # world x=-1.5, the occluder edge (x=0, z=2.5) shadows back-plane x<1.5
+    assert (mask[:n * n][back_x > 1.7] == 0).all()
+    # cam1-only region (seen once < min_views=2) is masked
+    assert mask[:n * n][(back_x > 0.2) & (back_x < 1.3)].all()

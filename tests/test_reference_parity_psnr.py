@@ -1,0 +1,201 @@
+"""End-to-end reference parity (VERDICT r1 item 10, environment-adapted):
+a reference-FORMAT .pt scene file + a reference-LAYOUT torch .pth checkpoint
+run through (a) a literal torch implementation of the reference forward
+(per-edge MLP EdgeConv, instance norm, trace pooling — /root/reference/
+models/surfacetextureinpaintingnet.py:398-471) and (b) our converter +
+TPU-native model, asserting PSNR parity within the +-0.1 dB north-star
+budget (BASELINE.md). Real ScanNet data and trained reference weights are
+not present in this environment; format and numerics are what this proves.
+"""
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from stinet_tpu.data.scannet import load_scene_pt
+from stinet_tpu.graph.build import RawHierarchy, build_hierarchical_graph
+from stinet_tpu.models.stinet import SurfaceTextureInpaintingNet
+from stinet_tpu.utils.convert_reference_checkpoint import (
+    convert_stinet_state_dict)
+from stinet_tpu.utils.synthetic import ring_mesh_edges
+
+CFG = dict(input_nc=10, output_nc=3, ngf=8, filter_type="edgeconvtransinv",
+           norm="instance", n_blocks=2, n_levels=2, n_repeated_io_convs=1,
+           pooling_type="max", dilations=[1, 2], remat_io_blocks=False)
+
+
+def write_reference_pt(path, rng, nv=(1200, 360, 110)):
+    """A scene graph in the reference's on-disk .pt layout
+    (graph_level_generation.py:489-536): vertices [V, 9] = pos|color|normals,
+    edges [2, E], traces fine->coarse, dilated_edges per level/dist."""
+    vertices, edges, traces = [], [], []
+    for l, v in enumerate(nv):
+        pos = rng.normal(size=(v, 3))
+        color = rng.uniform(0, 1, size=(v, 3))
+        normals = rng.normal(size=(v, 3))
+        normals /= np.linalg.norm(normals, axis=1, keepdims=True)
+        vertices.append(torch.from_numpy(
+            np.concatenate([pos, color, normals], 1).astype(np.float32)))
+        edges.append(torch.from_numpy(
+            ring_mesh_edges(v, rng).astype(np.int64)))
+        if l:
+            t = rng.integers(0, v, size=nv[l - 1])
+            t[:v] = np.arange(v)  # surjective
+            traces.append(torch.from_numpy(t.astype(np.int64)))
+    dists = [2, 4]
+    dilated = [None, None,
+               [torch.from_numpy(ring_mesh_edges(nv[2], rng, 3)
+                                 .astype(np.int64)) for _ in dists]]
+    torch.save({"vertices": vertices, "edges": edges, "traces": traces,
+                "dilated_edges": dilated, "dilation_dists": dists}, path)
+
+
+def make_reference_checkpoint(rng):
+    """Random reference-layout state dict (init_weights normal(0.02),
+    surfacetextureinpaintingnet.py:360-374)."""
+    ngf = CFG["ngf"]
+
+    def block(prefix, ci, co, trans_inv=False, shortcut=True):
+        fi = ci if trans_inv else 2 * ci
+        h = 2 * co
+        sd = {
+            f"{prefix}.first_filter.nn.0.weight":
+                torch.from_numpy(rng.normal(0, .08, (h, fi))
+                                 .astype(np.float32)),
+            f"{prefix}.first_filter.nn.0.bias": torch.zeros(h),
+            f"{prefix}.first_filter.nn.2.weight":
+                torch.from_numpy(rng.normal(0, .08, (co, h))
+                                 .astype(np.float32)),
+            f"{prefix}.first_filter.nn.2.bias": torch.zeros(co),
+        }
+        if shortcut:
+            sd[f"{prefix}.shortcut.weight"] = torch.from_numpy(
+                rng.normal(0, .08, (co, ci)).astype(np.float32))
+            sd[f"{prefix}.shortcut.bias"] = torch.zeros(co)
+        return sd
+
+    sd = {}
+    sd.update(block("input_blocks.0", 10, ngf, trans_inv=True))
+    sd.update(block("encoder_blocks.0", ngf, ngf * 2))
+    sd.update(block("encoder_blocks.1", ngf * 2, ngf * 4))
+    for i in range(CFG["n_blocks"]):
+        sd.update(block(f"bottleneck_blocks.{i}", ngf * 4, ngf * 4,
+                        shortcut=False))
+    sd.update(block("decoder_blocks.0", ngf * 4, ngf * 2))
+    sd.update(block("decoder_blocks.1", ngf * 2, ngf))
+    sd.update(block("output_blocks.0", ngf, ngf, shortcut=False))
+    sd["final_linear1.weight"] = torch.from_numpy(
+        rng.normal(0, .08, (ngf, ngf)).astype(np.float32))
+    sd["final_linear1.bias"] = torch.zeros(ngf)
+    sd["final_linear2.weight"] = torch.from_numpy(
+        rng.normal(0, .08, (3, ngf)).astype(np.float32))
+    sd["final_linear2.bias"] = torch.zeros(3)
+    return sd
+
+
+def torch_reference_forward(sd, x, edges, traces, dilated, nv):
+    """Literal reference semantics in torch (float64 for a crisp oracle)."""
+    sd = {k: v.double() for k, v in sd.items()}
+    x = torch.from_numpy(x).double()
+    edges = [torch.from_numpy(e) for e in edges]
+    traces = [torch.from_numpy(t) for t in traces]
+
+    def edgeconv(x, e, prefix, trans_inv=False):
+        src, dst = e[0], e[1]
+        xi, xj = x[dst], x[src]
+        feat = (xj - xi) if trans_inv else torch.cat([xi, xj - xi], 1)
+        m = torch.relu(feat @ sd[f"{prefix}.nn.0.weight"].T
+                       + sd[f"{prefix}.nn.0.bias"])
+        m = m @ sd[f"{prefix}.nn.2.weight"].T + sd[f"{prefix}.nn.2.bias"]
+        agg = torch.zeros((x.shape[0], m.shape[1]), dtype=m.dtype)
+        agg.index_add_(0, dst, m)
+        cnt = torch.zeros(x.shape[0], dtype=m.dtype)
+        cnt.index_add_(0, dst, torch.ones(len(dst), dtype=m.dtype))
+        return agg / cnt.clamp(min=1).unsqueeze(1)
+
+    def inorm(t):
+        return (t - t.mean(0)) / torch.sqrt(t.var(0, unbiased=False) + 1e-5)
+
+    def block(x, e, prefix, trans_inv=False):
+        out = torch.nn.functional.elu(
+            inorm(edgeconv(x, e, f"{prefix}.first_filter", trans_inv)))
+        if f"{prefix}.shortcut.weight" in sd:
+            x = x @ sd[f"{prefix}.shortcut.weight"].T \
+                + sd[f"{prefix}.shortcut.bias"]
+        return x + out
+
+    def pool_max(t, tr, n):
+        out = torch.full((n, t.shape[1]), -torch.inf, dtype=t.dtype)
+        out.scatter_reduce_(0, tr.unsqueeze(1).expand_as(t), t,
+                            reduce="amax")
+        out[torch.isinf(out)] = 0
+        return out
+
+    out = block(x, edges[0], "input_blocks.0", trans_inv=True)
+    out = pool_max(out, traces[0], nv[1])
+    out = block(out, edges[1], "encoder_blocks.0")
+    out = pool_max(out, traces[1], nv[2])
+    out = block(out, edges[2], "encoder_blocks.1")
+    for i, d in enumerate(CFG["dilations"]):
+        e = (torch.from_numpy(dilated[2][d]) if d > 1 else edges[2])
+        out = block(out, e, f"bottleneck_blocks.{i}")
+    out = out[traces[1]]
+    out = block(out, edges[1], "decoder_blocks.0")
+    out = out[traces[0]]
+    out = block(out, edges[0], "decoder_blocks.1")
+    out = block(out, edges[0], "output_blocks.0")
+    out = out @ sd["final_linear1.weight"].T + sd["final_linear1.bias"]
+    out = torch.nn.functional.elu(inorm(out))
+    out = out @ sd["final_linear2.weight"].T + sd["final_linear2.bias"]
+    return torch.tanh(out).numpy()
+
+
+def psnr(composite, gt, data_range=2.0):
+    mse = np.mean((composite - gt) ** 2)
+    return 10.0 * np.log10(data_range ** 2 / mse)
+
+
+def test_reference_scene_and_checkpoint_psnr_parity(tmp_path, rng):
+    pt_path = str(tmp_path / "scene0000_00.pt")
+    write_reference_pt(pt_path, rng)
+
+    # reference .pt -> raw hierarchy (the dataset's 10ch assembly,
+    # scannetcolorgraph_dataloader.py:114-121)
+    vertices, edges, traces, dilated, dists = load_scene_pt(pt_path, 3)
+    v0 = vertices[0].astype(np.float32)
+    pos, color, normals = v0[:, 0:3], v0[:, 3:6], v0[:, 6:9]
+    color = color * 2.0 - 1.0
+    nv0 = len(v0)
+    mask = np.zeros((nv0, 1), np.float32)
+    sel = rng.choice(nv0, nv0 // 4, replace=False)
+    mask[sel, 0] = rng.integers(1, 8, size=len(sel))
+    mask_bool = (mask == 0).astype(np.float32)
+    x = np.concatenate([color * mask_bool, normals, pos, mask_bool], 1)
+
+    ckpt_path = str(tmp_path / "model_best.pth")
+    sd = make_reference_checkpoint(rng)
+    torch.save({"state_dicts": {"graph": sd}}, ckpt_path)
+
+    # --- reference side (torch, literal semantics)
+    nv = [len(v) for v in vertices]
+    out_ref = torch_reference_forward(sd, x, edges, traces, dilated, nv)
+
+    # --- our side: converter + TPU-native model
+    loaded = torch.load(ckpt_path, weights_only=False)
+    params, _ = convert_stinet_state_dict(loaded["state_dicts"]["graph"])
+    sample = RawHierarchy(x=x, color=color.astype(np.float32), mask=mask,
+                          num_vertices=nv, level_edges=edges, traces=traces,
+                          dilated={2: dilated[2]}, name="scene0000_00")
+    g = build_hierarchical_graph([sample])
+    model = SurfaceTextureInpaintingNet(**CFG)
+    params = jax.tree.map(jnp.asarray, params)
+    out_jax = np.asarray(model.apply({"params": params}, g))[:nv0]
+
+    comp_ref = np.where(mask > 0, out_ref, color)
+    comp_jax = np.where(mask > 0, out_jax, color)
+    p_ref = psnr(comp_ref, color)
+    p_jax = psnr(comp_jax, color)
+    assert abs(p_jax - p_ref) < 0.1, (p_jax, p_ref)  # north-star +-0.1 dB
+    # and raw outputs agree far tighter than the PSNR budget
+    assert np.abs(out_jax - out_ref).max() < 5e-3
