@@ -35,10 +35,14 @@ from stinet_tpu.parallel.halo import build_halo_plan
 class PartEdges:
     """One edge set in partitioned form. All edges are ELL-resident (no COO
     spill — enforced at build time) so the aggregation mean divides by the
-    full in-degree."""
+    full in-degree. `rev_idx`/`rev_deg` invert nbr_halo per shard over the
+    extended (local + halo) sender index space, giving the backward a
+    gather-only form (see parallel/sharded_stinet.py::_halo_conv)."""
     nbr_halo: jax.Array   # [V_tot, D] int32, local+halo index space
     degree: jax.Array     # [V_tot] f32, total valid in-degree
     send_idx: jax.Array   # [n_parts, S, H] int32 local rows shipped at step s
+    rev_idx: jax.Array = None   # [P*(vp+S*H), D_rev] int32 local receiver ids
+    rev_deg: jax.Array = None   # [P*(vp+S*H)] f32 receiver count per sender
 
 
 @struct.dataclass
@@ -95,14 +99,50 @@ def _partition_ell(src, dst, v_tot, vp, n_parts, max_degree):
     return nbr.astype(np.int64), deg.astype(np.float32)
 
 
+def _reverse_tables(nbr_halo, deg, vp, n_parts, halo_width):
+    """Invert nbr_halo per shard: for each extended sender index e (local
+    rows [0, vp) then halo slots [vp, vp + S*H)), the local receiver rows
+    whose valid ELL slots reference e. Pad entries use receiver 0 with
+    rev_deg excluding them (ops/ell.py convention)."""
+    s_steps = max(n_parts - 1, 1)
+    ext = vp + s_steps * halo_width
+    d_in = nbr_halo.shape[1]
+    deg_i = deg.astype(np.int64)
+    rev_lists = []
+    d_rev = 1
+    for p in range(n_parts):
+        rows = nbr_halo[p * vp:(p + 1) * vp]          # [vp, D] ext-space ids
+        slot_valid = (np.arange(d_in)[None, :]
+                      < deg_i[p * vp:(p + 1) * vp, None])
+        r, d = np.nonzero(slot_valid)
+        e = rows[r, d]
+        order = np.argsort(e, kind="stable")
+        e, r = e[order], r[order]
+        counts = np.bincount(e, minlength=ext)
+        d_rev = max(d_rev, int(counts.max()) if len(e) else 0)
+        rev_lists.append((e, r, counts))
+    rev_idx = np.zeros((n_parts * ext, d_rev), np.int32)
+    rev_deg = np.zeros(n_parts * ext, np.float32)
+    for p, (e, r, counts) in enumerate(rev_lists):
+        indptr = np.zeros(ext + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        slot = np.arange(len(e)) - indptr[e]
+        rev_idx[p * ext + e, slot] = r
+        rev_deg[p * ext:(p + 1) * ext] = counts
+    return rev_idx, rev_deg
+
+
 def _part_edges(edges_new: np.ndarray, v_tot: int, vp: int, n_parts: int,
                 max_degree: int) -> PartEdges:
     nbr, deg = _partition_ell(edges_new[0], edges_new[1], v_tot, vp,
                               n_parts, max_degree)
     plan = build_halo_plan(nbr, v_tot, n_parts)
+    rev_idx, rev_deg = _reverse_tables(plan.nbr_halo, deg, vp, n_parts,
+                                       plan.halo_width)
     return PartEdges(nbr_halo=plan.nbr_halo.astype(np.int32),
                      degree=deg,
-                     send_idx=plan.send_idx.astype(np.int32))
+                     send_idx=plan.send_idx.astype(np.int32),
+                     rev_idx=rev_idx, rev_deg=rev_deg)
 
 
 def partition_hierarchy(sample: RawHierarchy, n_parts: int,

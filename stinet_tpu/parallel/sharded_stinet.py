@@ -48,19 +48,80 @@ def _halo_exchange(q_loc, send_loc, n_parts, axis):
     return jnp.concatenate([q_loc] + halos, axis=0)
 
 
+def _row(x, idx):
+    return x.at[idx].get(mode="promise_in_bounds")
+
+
+def _aggregate_mean(p_loc, q_ext, nbr, deg):
+    deg_i = deg.astype(jnp.int32)
+    acc = jnp.zeros_like(p_loc)
+    for d in range(nbr.shape[1]):
+        m = jax.nn.relu(p_loc + _row(q_ext, nbr[:, d]))
+        acc = acc + jnp.where((d < deg_i)[:, None], m, 0.0)
+    inv = 1.0 / jnp.maximum(deg.astype(p_loc.dtype), 1.0)
+    return acc * inv[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _halo_conv(n_parts, axis, p, q, nbr, deg, send, rev, rev_deg):
+    """mean_{j in N(i)} relu(P[i] + Q[j]) with remote senders via halo, and a
+    gather-only backward: dq on the extended (local + halo) sender space is
+    re-derived from the reverse tables, then halo-slot gradients ride the
+    inverse ppermute back to their owners (the multi-chip analog of the
+    single-chip ELL custom VJP, ops/ell.py)."""
+    q_ext = _halo_exchange(q, send, n_parts, axis)
+    return _aggregate_mean(p, q_ext, nbr, deg)
+
+
+def _halo_conv_fwd(n_parts, axis, p, q, nbr, deg, send, rev, rev_deg):
+    q_ext = _halo_exchange(q, send, n_parts, axis)
+    out = _aggregate_mean(p, q_ext, nbr, deg)
+    return out, (p, q_ext, nbr, deg, send, rev, rev_deg)
+
+
+def _halo_conv_bwd(n_parts, axis, res, g):
+    p, q_ext, nbr, deg, send, rev, rev_deg = res
+    deg_i = deg.astype(jnp.int32)
+    inv = 1.0 / jnp.maximum(deg.astype(p.dtype), 1.0)
+    gm = g * inv[:, None]
+
+    dp = jnp.zeros_like(p)
+    for d in range(nbr.shape[1]):
+        grad_mask = (p + _row(q_ext, nbr[:, d]) > 0).astype(p.dtype)
+        dp = dp + jnp.where((d < deg_i)[:, None], gm * grad_mask, 0.0)
+
+    rd = rev_deg.astype(jnp.int32)
+    dq_ext = jnp.zeros((q_ext.shape[0], p.shape[1]), p.dtype)
+    for j in range(rev.shape[1]):
+        r = rev[:, j]
+        contrib = _row(gm, r) * ((_row(p, r) + q_ext) > 0).astype(p.dtype)
+        dq_ext = dq_ext + jnp.where((j < rd)[:, None], contrib, 0.0)
+
+    vp = p.shape[0]
+    hw = send.shape[1]
+    dq = dq_ext[:vp]
+    for s in range(send.shape[0] if n_parts > 1 else 0):
+        buf = dq_ext[vp + s * hw: vp + (s + 1) * hw]
+        perm = [(i, (i - s - 1) % n_parts) for i in range(n_parts)]
+        buf = jax.lax.ppermute(buf, axis, perm)
+        # send rows are unique per step (np.unique at plan build): the add
+        # touches only the halo boundary, not the vertex-sized buffers
+        dq = dq.at[send[s]].add(buf)
+    return dp, dq, None, None, None, None, None
+
+
+_halo_conv.defvjp(_halo_conv_fwd, _halo_conv_bwd)
+
+
 def _edge_conv_halo(p_loc, q_loc, edges: PartEdges, n_parts, axis):
     """mean_{j in N(i)} relu(P[i] + Q[j]) with remote senders via halo."""
     send_loc = edges.send_idx[0]  # shard_map slices [n_parts, S, H] -> [1, S, H]
+    if edges.rev_idx is not None:
+        return _halo_conv(n_parts, axis, p_loc, q_loc, edges.nbr_halo,
+                          edges.degree, send_loc, edges.rev_idx,
+                          edges.rev_deg)
     q_ext = _halo_exchange(q_loc, send_loc, n_parts, axis)
-    deg_i = edges.degree.astype(jnp.int32)
-    acc = jnp.zeros_like(p_loc)
-    nbr = edges.nbr_halo
-    for d in range(nbr.shape[1]):
-        m = jax.nn.relu(
-            p_loc + q_ext.at[nbr[:, d]].get(mode="promise_in_bounds"))
-        acc = acc + jnp.where((d < deg_i)[:, None], m, 0.0)
-    inv = 1.0 / jnp.maximum(edges.degree.astype(p_loc.dtype), 1.0)
-    return acc * inv[:, None]
+    return _aggregate_mean(p_loc, q_ext, edges.nbr_halo, edges.degree)
 
 
 def _instance_norm_psum(x, vmask, axis, eps=1e-5):

@@ -182,9 +182,14 @@ class Inpainting2DTrainer(BaseTrainer):
         path = tcfg.get("vgg_weights")
         module = VGG16Features()
         if path:
-            import torch
-            sd = torch.load(path, map_location="cpu")
-            variables = convert_torch_vgg16(sd)
+            if path.endswith(".msgpack"):
+                from stinet_tpu.utils.convert_perceptual_weights import (
+                    load_msgpack)
+                variables = load_msgpack(path)
+            else:
+                import torch
+                sd = torch.load(path, map_location="cpu")
+                variables = convert_torch_vgg16(sd)
         else:
             self._require_random_optin("use_vgg", "vgg_weights")
             x = jnp.zeros((1, self.img_size, self.img_size, 3))
@@ -200,9 +205,14 @@ class Inpainting2DTrainer(BaseTrainer):
         model = InceptionV3()
         path = tcfg.get("inception_weights")
         if path:
-            import torch
-            variables = convert_torch_state_dict(
-                torch.load(path, map_location="cpu"))
+            if path.endswith(".msgpack"):
+                from stinet_tpu.utils.convert_perceptual_weights import (
+                    load_msgpack)
+                variables = load_msgpack(path)
+            else:
+                import torch
+                variables = convert_torch_state_dict(
+                    torch.load(path, map_location="cpu"))
         else:
             self._require_random_optin("FID", "inception_weights")
             self._fid_tag = "fid_random_features"
@@ -217,6 +227,12 @@ class Inpainting2DTrainer(BaseTrainer):
             LPIPS, convert_torch_lpips, random_lpips)
         path = tcfg.get("lpips_weights")
         if path:
+            if path.endswith(".msgpack"):
+                from stinet_tpu.utils.convert_perceptual_weights import (
+                    load_msgpack)
+                tree = load_msgpack(path)
+                lins = list(tree.get("lins", [])) or None
+                return LPIPS(tree["variables"], lins)
             import torch
             sd = torch.load(path, map_location="cpu")
             if isinstance(sd, dict) and "alex" in sd:

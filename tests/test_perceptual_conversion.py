@@ -305,3 +305,47 @@ def test_convert_torch_inception_golden():
     got = np.asarray(model.apply(variables, _to_nhwc(x)))
     assert got.shape == want.shape == (1, 2048)
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_convert_cli_msgpack_roundtrip(tmp_path, monkeypatch):
+    """The offline conversion CLI writes msgpack weight files that load back
+    identical to direct conversion (the trainers accept either form)."""
+    import sys
+    from stinet_tpu.utils import convert_perceptual_weights as cpw
+    from stinet_tpu.models.vgg import convert_torch_vgg16
+
+    torch.manual_seed(4)
+    net = _torch_vgg16_features()
+    torch_path = str(tmp_path / "vgg16.pth")
+    out_path = str(tmp_path / "vgg16.msgpack")
+    torch.save(net.state_dict(), torch_path)
+
+    monkeypatch.setattr(sys, "argv", ["cpw", "vgg", "--torch", torch_path,
+                                      "--out", out_path])
+    cpw.main()
+    loaded = cpw.load_msgpack(out_path)
+    want = convert_torch_vgg16(net.state_dict())
+    flat_w = jax.tree_util.tree_leaves_with_path(want)
+    flat_l = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(loaded)}
+    assert len(flat_w) == len(flat_l)
+    for k, v in flat_w:
+        np.testing.assert_array_equal(flat_l[jax.tree_util.keystr(k)], v)
+
+    # lpips variant incl. linear heads
+    alex = _torch_alexnet_features()
+    lins = {f"lin{i}.model.1.weight": torch.rand(1, c, 1, 1)
+            for i, c in enumerate((64, 192, 384, 256, 256))}
+    alex_path = str(tmp_path / "alex.pth")
+    lpips_path = str(tmp_path / "lpips.pth")
+    lp_out = str(tmp_path / "lpips.msgpack")
+    torch.save({f"features.{k}": v for k, v in alex.state_dict().items()},
+               alex_path)
+    torch.save(lins, lpips_path)
+    monkeypatch.setattr(sys, "argv", ["cpw", "lpips", "--torch", alex_path,
+                                      "--lpips-torch", lpips_path,
+                                      "--out", lp_out])
+    cpw.main()
+    tree = cpw.load_msgpack(lp_out)
+    assert len(tree["lins"]) == 5
+    assert "conv_0" in tree["variables"]["params"]
