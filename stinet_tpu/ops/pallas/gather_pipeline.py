@@ -9,14 +9,23 @@ Computes the ELL forward (ops/ell.py::_forward semantics):
 with q resident in HBM and sender rows streamed via explicit double-buffered
 DMA, slot-major: for each receiver tile of T rows, stage all T sender rows of
 slot d into VMEM while the VPU consumes slot d-1. The hypothesis under test
-(README): explicit row DMAs can beat XLA's gather's ~25% HBM efficiency if
-enough descriptors stay in flight; the risk is scalar-core descriptor issue
-cost (T x D per tile).
+(README): explicit row DMAs can beat XLA's gather if enough descriptors stay
+in flight; the risk is scalar-core descriptor issue cost (T x D per tile).
 
-Forward-only prototype: it is benchmarked against the XLA unrolled path by
-`bench_pallas.py` on real hardware and adopted (with a custom VJP) only if it
-wins. Correctness is asserted in interpret mode on CPU
-(tests/test_pallas_gather.py).
+Mosaic layout note: HBM slices must be lane-aligned (multiples of 128 in the
+last dim), so the neighbor table is carried TRANSPOSED as [D, V] int32 and
+each slot's indices arrive as a [1, tile] slice (tile % 128 == 0). The
+original [tile, D] slice of a [V, D] table is rejected by the compiler
+("Slice shape along dimension 1 must be aligned to tiling (128), but is 12").
+
+Forward-only prototype, benchmarked against the XLA unrolled path by
+`bench_pallas.py` on real hardware. VERDICT (round 2, v5e, V=65k H=128
+D=12 f32): XLA 2.94 ms vs this kernel ~26 ms at every tile size — the
+scalar core issues 786k row descriptors at ~33 ns each, which alone exceeds
+the XLA time 9x. REJECTED for production; kept as the measured record of
+why per-row DMA gathers lose on TPU (see ops/pallas/README.md).
+Correctness is asserted in interpret mode on CPU
+(tests/test_pallas_gather.py) and was spot-checked on hardware.
 """
 import functools
 
@@ -26,38 +35,41 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(nbr_hbm, deg_ref, p_ref, q_hbm, out_ref, *,
-            tile, d_slots, h):
-    """One receiver tile: stage nbr slice, then slot-major double-buffered
-    row DMAs from q_hbm."""
+def _kernel(nbr_t_hbm, deg_ref, p_ref, q_hbm, out_ref, *,
+            tile, d_slots, d_pad, h):
+    """One receiver tile: a single [d_pad, tile] index DMA (HBM -> SMEM)
+    feeding double-buffered per-row data DMAs (HBM -> VMEM). The index
+    block is sublane-padded (d_pad % 8 == 0) because Mosaic requires HBM
+    slices aligned to the (8,128) int32 tiling in BOTH dims. All row DMAs
+    of a slot share ONE semaphore (the sflag space holds ~512 flags total,
+    so per-row semaphores blow the budget); the wait loop drains it one
+    identical-shaped copy at a time."""
     i = pl.program_id(0)
 
-    def body(nbr_s, stage, acc, nbr_sem, row_sems):
-        # 1. receiver tile's neighbor indices -> SMEM (scalars drive DMAs)
-        nbr_dma = pltpu.make_async_copy(
-            nbr_hbm.at[pl.ds(i * tile, tile), :], nbr_s, nbr_sem)
-        nbr_dma.start()
-        nbr_dma.wait()
+    def body(idx_s, stage, acc, idx_sem, row_sems):
+        idx_dma = pltpu.make_async_copy(
+            nbr_t_hbm.at[:, pl.ds(i * tile, tile)], idx_s, idx_sem)
+        idx_dma.start()
+        idx_dma.wait()
 
         def issue(slot, d):
             """Start the T row DMAs for slot d into stage[slot]."""
             def issue_row(r, _):
-                idx = nbr_s[r, d]
+                idx = idx_s[d, r]
                 pltpu.make_async_copy(
                     q_hbm.at[idx, :], stage.at[slot, r, :],
-                    row_sems.at[slot, r]).start()
+                    row_sems.at[slot]).start()
                 return 0
             jax.lax.fori_loop(0, tile, issue_row, 0)
 
-        def wait(slot):
+        def wait_rows(slot):
             def wait_row(r, _):
                 pltpu.make_async_copy(
                     q_hbm.at[0, :], stage.at[slot, r, :],
-                    row_sems.at[slot, r]).wait()
+                    row_sems.at[slot]).wait()
                 return 0
             jax.lax.fori_loop(0, tile, wait_row, 0)
 
-        # 2. warm up slot 0, then pipeline: issue d+1 while consuming d
         issue(0, 0)
         acc[...] = jnp.zeros_like(acc)
         deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
@@ -69,7 +81,7 @@ def _kernel(nbr_hbm, deg_ref, p_ref, q_hbm, out_ref, *,
             def _():
                 issue(1 - slot, d + 1)
 
-            wait(slot)
+            wait_rows(slot)
             m = jax.nn.relu(p_ref[...] + stage[slot])
             acc[...] += jnp.where(d < deg, m, 0.0)
             return 0
@@ -79,11 +91,11 @@ def _kernel(nbr_hbm, deg_ref, p_ref, q_hbm, out_ref, *,
 
     pl.run_scoped(
         body,
-        nbr_s=pltpu.SMEM((tile, d_slots), jnp.int32),
+        idx_s=pltpu.SMEM((d_pad, tile), jnp.int32),
         stage=pltpu.VMEM((2, tile, h), jnp.float32),
         acc=pltpu.VMEM((tile, h), jnp.float32),
-        nbr_sem=pltpu.SemaphoreType.DMA(()),
-        row_sems=pltpu.SemaphoreType.DMA((2, tile)),
+        idx_sem=pltpu.SemaphoreType.DMA(()),
+        row_sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
 
@@ -92,22 +104,28 @@ def pallas_ell_edge_conv_sum(p, q, nbr, deg, tile: int = 256,
     """out[v] = sum_d 1[d < deg[v]] relu(p[v] + q[nbr[v, d]]).
 
     p, q: [V, H] f32; nbr: [V, D] int32 (pad slots must hold a valid row id);
-    deg: [V] float or int. V must be a multiple of `tile`.
+    deg: [V] float or int. V must be a multiple of `tile` (and `tile` a
+    multiple of 128 for the lane-aligned index slices).
     """
     v, h = p.shape
     d_slots = nbr.shape[1]
     assert v % tile == 0, (v, tile)
+    assert tile % 128 == 0, tile
     grid = (v // tile,)
+    d_pad = -(-d_slots // 8) * 8  # sublane-align the index block
 
-    kernel = functools.partial(_kernel, tile=tile, d_slots=d_slots, h=h)
+    kernel = functools.partial(_kernel, tile=tile, d_slots=d_slots,
+                               d_pad=d_pad, h=h)
     deg2 = deg.astype(jnp.float32).reshape(v, 1)
+    # [D_pad, V]: slot rows are lane-aligned slices (pad slots index row 0)
+    nbr_t = jnp.zeros((d_pad, v), jnp.int32).at[:d_slots].set(nbr.T)
 
     return pl.pallas_call(
         kernel,
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),      # nbr in HBM
+                pl.BlockSpec(memory_space=pl.ANY),      # nbr_t in HBM
                 pl.BlockSpec((tile, 1), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),     # deg tile
                 pl.BlockSpec((tile, h), lambda i: (i, 0),
@@ -120,4 +138,4 @@ def pallas_ell_edge_conv_sum(p, q, nbr, deg, tile: int = 256,
         out_shape=jax.ShapeDtypeStruct((v, h), jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(nbr, deg2, p, q)
+    )(nbr_t, deg2, p, q)
