@@ -1,0 +1,273 @@
+"""Windowed one-hot MXU edge-conv aggregation (Pallas).
+
+The XLA row-gather path (ops/ell.py) is bound by DRAM row transactions:
+~256-512 B rows gather at ~30% of HBM peak, and bf16 rows buy only ~9%
+because the transaction COUNT, not the byte count, is the wall (measured:
+bench_pallas.py / BENCH_NOTES round 2). This kernel removes row
+transactions entirely for bandwidth-ordered graphs:
+
+  * vertices are ordered so every edge satisfies |src - dst| <= halo
+    (reverse-Cuthill-McKee does this for mesh graphs; violating edges go
+    to the COO spill path exactly like high-degree spill);
+  * each receiver tile [T rows] then finds ALL its senders inside a
+    contiguous window q[w0 : w0+W], W = T + 2*halo, which streams from
+    HBM as one large coalesced DMA (double-buffered across grid steps);
+  * per slot d the gather becomes onehot([T, W]) @ window([W, H]) on the
+    MXU in bf16 — one-hot rows select exact bf16 values (products are 0
+    or the value itself; one term per row), so the result is EXACTLY the
+    gathered row, accumulated in f32.
+
+Cost model at the flagship level-0 shape (V=65k, H=128, D=12, W=768,
+bf16): 155 GFLOP -> ~0.8 ms at v5e peak vs ~1.5-3 ms for the row gather;
+window traffic is ~37 MB vs ~400 MB of random rows.
+
+Forward semantics match ops/ell.py::_forward:
+
+    out[v] = sum_d 1[d < deg[v]] * relu(p[v] + q[nbr[v, d]])
+
+Requires: V % tile == 0, all nbr within the clamped window (the graph
+builder guarantees it; tests assert it), H % 128 == 0, W % 8 == 0.
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _windowed_dma(q_hbm, win, sems, w0_of, pipelined, i, n):
+    """Window staging policy shared by all three kernels. Returns the VMEM
+    slot holding the current grid step's window. `i`/`n` are program_id /
+    num_programs, computed OUTSIDE pl.run_scoped (the interpreter has no
+    grid context inside the scoped body)."""
+
+    def win_dma(slot, j):
+        w = win.shape[1]
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(w0_of(j), w), :], win.at[slot], sems.at[slot])
+
+    if pipelined:
+        # step i waits for the window started at step i-1 (or its own at
+        # i == 0) and prefetches window i+1 behind the compute; TPU grid
+        # steps run sequentially on one core and share scratch + in-flight
+        # DMAs
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i == 0)
+        def _():
+            win_dma(0, 0).start()
+
+        win_dma(slot, i).wait()
+
+        @pl.when(i + 1 < n)
+        def _():
+            win_dma(1 - slot, i + 1).start()
+    else:
+        # the interpreter resets scratch state per grid step: block instead
+        slot = 0
+        dma = win_dma(0, i)
+        dma.start()
+        dma.wait()
+    return slot
+
+
+def _onehot_rows(nbr_local, window, tile, w, d_slots):
+    """Gather rows window[nbr_local[d, t]] for every slot/receiver as ONE
+    [D*T, W] @ [W, H'] matmul: per-slot matmuls are MXU-latency-bound
+    (measured 4.2 ms vs 3.3 XLA at the flagship shape); the slot axis is
+    folded into M (sublane concat — Mosaic has no cross-lane reshape) so
+    the systolic array stays full."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
+    onehot = jnp.concatenate(
+        [(nbr_local[d, :][:, None] == col).astype(jnp.bfloat16)
+         for d in range(d_slots)], axis=0)
+    return jnp.dot(onehot, window, preferred_element_type=jnp.float32)
+
+
+def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
+            tile, d_slots, h, w, halo, v, pipelined, mode):
+    """Grid step i: stream window q[w0:w0+W], one one-hot matmul, reduce.
+
+    mode='relu': out[v] = sum_d 1[d<deg] relu(p[v] + q[nbr])      (forward)
+    mode='step': out[v] = sum_d 1[d<deg] step(p[v] + q[nbr])      (dp / g)
+    """
+    i = pl.program_id(0)
+
+    def w0_of(j):
+        # halo, tile, w, v are all multiples of 32 (wrapper guarantees), so
+        # every clipped start is 32-aligned — hint it so Mosaic accepts the
+        # dynamic HBM slice under the bf16 (8,128)(2,1) tiling
+        return pl.multiple_of(jnp.clip(j * tile - halo, 0, v - w), 32)
+
+    n = pl.num_programs(0)
+
+    def body(win, sems):
+        slot = _windowed_dma(q_hbm, win, sems, w0_of, pipelined, i, n)
+        w0 = w0_of(i)
+        nbr_local = nbr_t_ref[...] - w0  # [d_pad, tile], window-relative
+        deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
+        p32 = p_ref[...].astype(jnp.float32)
+        rows = _onehot_rows(nbr_local, win[slot], tile, w, d_slots)
+
+        acc = jnp.zeros((tile, h), jnp.float32)
+        for d in range(d_slots):
+            z = p32 + rows[d * tile:(d + 1) * tile]
+            m = jax.nn.relu(z) if mode == "relu" else (z > 0).astype(
+                jnp.float32)
+            acc = acc + jnp.where(d < deg, m, 0.0)
+
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        win=pltpu.VMEM((2, w, h), jnp.bfloat16),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _kernel_dq(rev_t_ref, deg_ref, q_ref, gp_hbm, out_ref, *,
+               tile, d_slots, h, w, halo, v, pipelined):
+    """dq[s] = sum_j 1[j<deg_out] g[r_j] * step(p[r_j] + q[s]) where
+    r_j = rev_dst[s, j]. The g and p rows are gathered TOGETHER via one
+    one-hot matmul against the concatenated window [g | p] ([V, 2H])."""
+    i = pl.program_id(0)
+
+    def w0_of(j):
+        return pl.multiple_of(jnp.clip(j * tile - halo, 0, v - w), 32)
+
+    n = pl.num_programs(0)
+
+    def body(win, sems):
+        slot = _windowed_dma(gp_hbm, win, sems, w0_of, pipelined, i, n)
+        w0 = w0_of(i)
+        rev_local = rev_t_ref[...] - w0
+        deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
+        q32 = q_ref[...].astype(jnp.float32)
+        rows = _onehot_rows(rev_local, win[slot], tile, w, d_slots)
+
+        acc = jnp.zeros((tile, h), jnp.float32)
+        for d in range(d_slots):
+            g_r = rows[d * tile:(d + 1) * tile, :h]
+            p_r = rows[d * tile:(d + 1) * tile, h:]
+            m = g_r * (p_r + q32 > 0).astype(jnp.float32)
+            acc = acc + jnp.where(d < deg, m, 0.0)
+
+        out_ref[...] = acc.astype(out_ref.dtype)
+
+    pl.run_scoped(
+        body,
+        win=pltpu.VMEM((2, w, 2 * h), jnp.bfloat16),
+        sems=pltpu.SemaphoreType.DMA((2,)),
+    )
+
+
+def _window_geometry(v, tile, halo):
+    assert v % tile == 0 and tile % 128 == 0, (v, tile)
+    halo = -(-halo // 32) * 32  # 32-align so every window start is aligned
+    w = min(tile + 2 * halo, v)
+    assert w >= tile + 2 * halo or w == v
+    assert v % 32 == 0 and w % 32 == 0
+    return halo, w
+
+
+def _call_windowed(kernel_fn, local, windowed, idx, deg, halo, tile,
+                   interpret, h_out):
+    """Shared pallas_call plumbing for the fwd/step/dq kernels: `local` is
+    the per-receiver-tile operand, `windowed` the HBM-resident gather
+    source, `idx` the [V, D] banded index table."""
+    v = local.shape[0]
+    d_slots = idx.shape[1]
+    halo, w = _window_geometry(v, tile, halo)
+    d_pad = -(-d_slots // 8) * 8
+    h_loc = local.shape[1]
+
+    kernel = functools.partial(kernel_fn, tile=tile, d_slots=d_slots,
+                               h=h_loc, w=w, halo=halo, v=v,
+                               pipelined=not interpret)
+    deg2 = deg.astype(jnp.float32).reshape(v, 1)
+    idx_t = jnp.zeros((d_pad, v), jnp.int32).at[:d_slots].set(idx.T)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pl.GridSpec(
+            grid=(v // tile,),
+            in_specs=[
+                pl.BlockSpec((d_pad, tile), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),   # idx slice
+                pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),   # deg tile
+                pl.BlockSpec((tile, h_loc), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),   # local tile
+                pl.BlockSpec(memory_space=pl.ANY),       # window src in HBM
+            ],
+            out_specs=pl.BlockSpec((tile, h_out), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((v, h_out), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(idx_t, deg2, local.astype(jnp.bfloat16),
+      windowed.astype(jnp.bfloat16))
+
+
+def pallas_windowed_edge_conv_sum(p, q, nbr, deg, halo: int,
+                                  tile: int = 256,
+                                  interpret: bool = False,
+                                  mode: str = "relu"):
+    """out[v] = sum_d 1[d < deg[v]] relu(p[v] + q[nbr[v, d]]) (mode='relu')
+    or the step-mask sum (mode='step') for graphs with
+    |nbr[v, d] - v| <= halo on all valid slots.
+
+    p, q: [V, H] bf16 (f32 inputs are cast; accumulation is f32);
+    nbr: [V, D] int32; deg: [V]. Returns [V, H] in p.dtype.
+    """
+    out = _call_windowed(
+        functools.partial(_kernel, mode=mode), p, q, nbr, deg, halo, tile,
+        interpret, h_out=p.shape[1])
+    return out.astype(p.dtype)
+
+
+def pallas_windowed_dq(q, g, p, rev_dst, deg_out, halo: int,
+                       tile: int = 256, interpret: bool = False):
+    """dq[s] = sum_j 1[j < deg_out[s]] g[rev[s,j]] * step(p[rev[s,j]] + q[s])
+    — the sender-side VJP of the windowed edge conv, gathering the (g, p)
+    row pairs via one one-hot matmul against the [g | p] window."""
+    gp = jnp.concatenate([g.astype(jnp.bfloat16),
+                          p.astype(jnp.bfloat16)], axis=1)
+    out = _call_windowed(_kernel_dq, q, gp, rev_dst, deg_out, halo, tile,
+                         interpret, h_out=q.shape[1])
+    return out.astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def windowed_ell_edge_conv_sum(halo, tile, interpret,
+                               p, q, nbr, rev_dst, deg_in, deg_out):
+    """Drop-in for ops/ell.py::ell_edge_conv_sum on bandwidth-ordered
+    graphs (same argument order after the static halo/tile/interpret):
+    gather-free windowed one-hot MXU forward AND backward."""
+    return pallas_windowed_edge_conv_sum(p, q, nbr, deg_in, halo,
+                                         tile=tile, interpret=interpret)
+
+
+def _windowed_fwd(halo, tile, interpret, p, q, nbr, rev_dst,
+                  deg_in, deg_out):
+    out = pallas_windowed_edge_conv_sum(p, q, nbr, deg_in, halo,
+                                        tile=tile, interpret=interpret)
+    return out, (p, q, nbr, rev_dst, deg_in, deg_out)
+
+
+def _windowed_bwd(halo, tile, interpret, res, g):
+    p, q, nbr, rev_dst, deg_in, deg_out = res
+    # dp[v] = g[v] * sum_d 1[d<deg] step(p[v] + q[nbr]) — step sum in-kernel
+    step_sum = pallas_windowed_edge_conv_sum(
+        p, q, nbr, deg_in, halo, tile=tile, interpret=interpret,
+        mode="step")
+    dp = (g.astype(jnp.float32) * step_sum.astype(jnp.float32)).astype(
+        p.dtype)
+    dq = pallas_windowed_dq(q, g, p, rev_dst, deg_out, halo, tile=tile,
+                            interpret=interpret)
+    return dp, dq.astype(q.dtype), None, None, None, None
+
+
+windowed_ell_edge_conv_sum.defvjp(_windowed_fwd, _windowed_bwd)

@@ -1,0 +1,257 @@
+"""Texture-map optimization: recover per-vertex mesh colors from RGB-D
+frames + camera trajectory, with optional rigid pose refinement.
+
+Capability parity with the reference's standalone open3d demo
+(/root/reference/preprocessing/texture_map_optimization.py:136-146), which
+calls `o3d.pipelines.color_map.run_non_rigid_optimizer(..., maximum_
+iteration=0)` — i.e. performs the initial visibility-weighted color
+projection — on one hard-coded ScanNet scene and writes `out.ply`.
+
+This version is TPU-native and goes further than the reference's
+0-iteration run:
+
+  * projection + bilinear sampling + visibility are batched jax ops
+    (one [F, V] problem, MXU-friendly matmuls over frame stacks);
+  * `estimate_vertex_colors` is the reference's 0-iteration behavior:
+    visibility-masked average of sampled frame colors per vertex;
+  * `rigid_optimize` implements the ColorMapOptimization rigid stage
+    (Zhou & Koltun 2014, what `run_rigid_optimizer` does): alternate
+    closed-form color re-estimation with Adam refinement of per-frame
+    se(3) pose deltas against the photometric residual — all under jit.
+
+Visibility follows the depth-consistency test the open3d pipeline uses:
+a vertex is visible in a frame iff its projected depth agrees with the
+bilinearly-sampled depth image within a tolerance. (The native z-buffer
+rasterizer in preprocessing/native covers the no-depth-image case via
+masks.pose_visibility.)
+
+CLI (ScanNet sensor layout, same directory convention as the reference):
+    python -m stinet_tpu.preprocessing.texture_optimization \
+        --path data/sensor_data/scene0000_00 --scene scene0000_00 \
+        --stride 10 --rigid-iters 50 --out out.ply
+"""
+import os
+
+import numpy as np
+
+
+# --------------------------------------------------------------------------
+# jax core (importable without jax for the CLI arg parse)
+# --------------------------------------------------------------------------
+
+def _se3_apply(pose, delta, pts):
+    """Apply exp(delta) * pose to [V, 3] points. delta = [wx wy wz tx ty tz]
+    (small-angle Rodrigues; exact enough for refinement steps)."""
+    import jax.numpy as jnp
+    w, t = delta[:3], delta[3:]
+    theta = jnp.sqrt(jnp.sum(w * w) + 1e-12)
+    k = w / theta
+    kx = jnp.array([[0., -k[2], k[1]],
+                    [k[2], 0., -k[0]],
+                    [-k[1], k[0], 0.]])
+    dr = (jnp.eye(3) + jnp.sin(theta) * kx
+          + (1 - jnp.cos(theta)) * (kx @ kx))
+    r = dr @ pose[:3, :3]
+    tt = dr @ pose[:3, 3] + t
+    return pts @ r.T + tt
+
+
+def _project(cam_pts, intr, width, height):
+    """[V, 3] camera-space points -> (uv [V, 2], z [V], in_frame [V])."""
+    import jax.numpy as jnp
+    fx, fy, cx, cy = intr
+    z = cam_pts[:, 2]
+    zc = jnp.maximum(z, 1e-9)
+    u = cam_pts[:, 0] / zc * fx + cx
+    v = cam_pts[:, 1] / zc * fy + cy
+    ok = (z > 1e-6) & (u >= 0) & (u <= width - 1) & (v >= 0) & (v <= height - 1)
+    return jnp.stack([u, v], 1), z, ok
+
+
+def _bilinear(img, uv):
+    """Sample [H, W, C] at [V, 2] (u, v) pixel coords."""
+    import jax.numpy as jnp
+    h, w = img.shape[:2]
+    u = jnp.clip(uv[:, 0], 0, w - 1.0 - 1e-6)
+    v = jnp.clip(uv[:, 1], 0, h - 1.0 - 1e-6)
+    u0 = jnp.floor(u).astype(jnp.int32)
+    v0 = jnp.floor(v).astype(jnp.int32)
+    du = (u - u0)[:, None]
+    dv = (v - v0)[:, None]
+    flat = img.reshape(h * w, -1)
+
+    def at(vv, uu):
+        return flat.at[vv * w + uu].get(mode="promise_in_bounds")
+
+    return ((1 - du) * (1 - dv) * at(v0, u0) + du * (1 - dv) * at(v0, u0 + 1)
+            + (1 - du) * dv * at(v0 + 1, u0) + du * dv * at(v0 + 1, u0 + 1))
+
+
+def _frame_samples(vertices, pose, delta, intr, color, depth, width, height,
+                   depth_rel_eps=0.03, depth_abs_eps=0.02):
+    """One frame: (sampled colors [V, 3], visibility weight [V])."""
+    import jax.numpy as jnp
+    cam = _se3_apply(pose, delta, vertices)
+    uv, z, ok = _project(cam, intr, width, height)
+    col = _bilinear(color, uv)
+    d = _bilinear(depth[..., None], uv)[:, 0]
+    vis = ok & (d > 1e-6) & (jnp.abs(d - z)
+                             <= depth_rel_eps * jnp.maximum(d, 1e-6)
+                             + depth_abs_eps)
+    return col, vis.astype(col.dtype)
+
+
+def estimate_vertex_colors(vertices, poses, deltas, intr, colors, depths,
+                           width, height):
+    """Visibility-weighted mean of sampled frame colors — the reference's
+    maximum_iteration=0 color projection. All-frames batched via vmap."""
+    import jax
+    import jax.numpy as jnp
+
+    def one(pose, delta, color, depth):
+        return _frame_samples(vertices, pose, delta, intr, color, depth,
+                              width, height)
+
+    cols, ws = jax.vmap(one)(poses, deltas, colors, depths)  # [F,V,3],[F,V]
+    wsum = jnp.maximum(ws.sum(0), 1e-6)[:, None]
+    return (cols * ws[..., None]).sum(0) / wsum, ws
+
+
+def rigid_optimize(vertices, poses, intr, colors, depths, width, height,
+                   iters=50, lr=1e-4, anchor_first=True):
+    """Alternating rigid color-map optimization on device:
+      repeat: C <- visibility-weighted color estimate (closed form)
+              deltas <- Adam step on sum_f ||sample_f(C) - frame colors||^2
+    `anchor_first` pins frame 0's pose (gauge: a global rigid transform of
+    all poses leaves the residual invariant but moves the texture).
+    Returns (vertex_colors [V, 3], deltas [F, 6], per-iter residuals)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    poses = jnp.asarray(poses, jnp.float32)
+    vertices = jnp.asarray(vertices, jnp.float32)
+    colors = jnp.asarray(colors, jnp.float32)
+    depths = jnp.asarray(depths, jnp.float32)
+    f = poses.shape[0]
+    deltas0 = jnp.zeros((f, 6), jnp.float32)
+    gauge = (jnp.arange(f) > 0).astype(jnp.float32)[:, None] \
+        if anchor_first else jnp.ones((f, 1), jnp.float32)
+    tx = optax.adam(lr)
+
+    def residual(deltas, c_est):
+        def one(pose, delta, color, depth):
+            col, w = _frame_samples(vertices, pose, delta, intr, color,
+                                    depth, width, height)
+            return jnp.sum(w[:, None] * (col - c_est) ** 2), jnp.sum(w)
+
+        r, w = jax.vmap(one)(poses, deltas, colors, depths)
+        return jnp.sum(r) / jnp.maximum(jnp.sum(w), 1e-6)
+
+    @jax.jit
+    def step(deltas, opt_state):
+        c_est, _ = estimate_vertex_colors(vertices, poses, deltas, intr,
+                                          colors, depths, width, height)
+        loss, g = jax.value_and_grad(residual)(deltas, c_est)
+        upd, opt_state = tx.update(g * gauge, opt_state, deltas)
+        return optax.apply_updates(deltas, upd * gauge), opt_state, loss
+
+    deltas, opt_state = deltas0, tx.init(deltas0)
+    hist = []
+    for _ in range(iters):
+        deltas, opt_state, loss = step(deltas, opt_state)
+        hist.append(float(loss))
+    c_final, _ = estimate_vertex_colors(vertices, poses, deltas, intr,
+                                        colors, depths, width, height)
+    return np.asarray(c_final), np.asarray(deltas), hist
+
+
+# --------------------------------------------------------------------------
+# ScanNet sensor-directory CLI (reference layout, texture_map_optimization
+# .py:60-125: color/*.jpg, depth/*.png (mm), pose/*.txt c2w,
+# intrinsic/intrinsic_color.txt)
+# --------------------------------------------------------------------------
+
+def load_sensor_scene(path, stride=10, height=480, width=640):
+    from PIL import Image
+    import glob
+    import re
+
+    def numkey(p):
+        m = re.findall(r"\d+", os.path.basename(p))
+        return int(m[-1]) if m else 0
+
+    color_files = sorted(glob.glob(os.path.join(path, "color", "*.jpg")),
+                         key=numkey)[::stride]
+    depth_files = sorted(glob.glob(os.path.join(path, "depth", "*.png")),
+                         key=numkey)[::stride]
+    pose_files = sorted(glob.glob(os.path.join(path, "pose", "*.txt")),
+                        key=numkey)[::stride]
+    assert len(color_files) == len(depth_files) == len(pose_files), (
+        len(color_files), len(depth_files), len(pose_files))
+
+    ic = np.loadtxt(os.path.join(path, "intrinsic", "intrinsic_color.txt"))
+    first = Image.open(color_files[0])
+    ow, oh = first.size
+    intr = (ic[0, 0] * width / ow, ic[1, 1] * height / oh,
+            width / 2.0 - 0.5, height / 2.0 - 0.5)  # reference :105-108
+
+    colors, depths, poses = [], [], []
+    for cf, df, pf in zip(color_files, depth_files, pose_files):
+        c2w = np.loadtxt(pf).reshape(4, 4)
+        if not np.isfinite(c2w).all():
+            continue
+        col = np.asarray(Image.open(cf).convert("RGB")
+                         .resize((width, height))) / 255.0
+        dep = np.asarray(Image.open(df).resize((width, height),
+                                               Image.NEAREST), np.float64)
+        dep[dep == 65535] = 0  # reference :89
+        colors.append(col.astype(np.float32))
+        depths.append((dep / 1000.0).astype(np.float32))  # mm -> m
+        poses.append(np.linalg.inv(c2w).astype(np.float32))
+    return (np.stack(colors), np.stack(depths), np.stack(poses), intr,
+            width, height)
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--path", required=True)
+    ap.add_argument("--scene", required=True)
+    ap.add_argument("--stride", type=int, default=10)
+    ap.add_argument("--rigid-iters", type=int, default=0,
+                    help="0 = reference-parity pure projection")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--height", type=int, default=480)
+    ap.add_argument("--width", type=int, default=640)
+    ap.add_argument("--out", default="out.ply")
+    args = ap.parse_args(argv)
+
+    from stinet_tpu.preprocessing.plyio import read_ply, write_ply
+    mesh_path = os.path.join(args.path, f"{args.scene}_vh_clean_2.ply")
+    mesh = read_ply(mesh_path)
+    verts, faces = mesh["vertices"], mesh.get("faces")
+    colors, depths, poses, intr, w, h = load_sensor_scene(
+        args.path, args.stride, args.height, args.width)
+    print(f"{len(poses)} frames, {len(verts)} vertices")
+
+    if args.rigid_iters > 0:
+        vcol, deltas, hist = rigid_optimize(
+            verts, poses, intr, colors, depths, w, h,
+            iters=args.rigid_iters, lr=args.lr)
+        print(f"residual {hist[0]:.6f} -> {hist[-1]:.6f}")
+    else:
+        import jax.numpy as jnp
+        vcol, _ = estimate_vertex_colors(
+            jnp.asarray(verts, jnp.float32), jnp.asarray(poses),
+            jnp.zeros((len(poses), 6), jnp.float32), intr,
+            jnp.asarray(colors), jnp.asarray(depths), w, h)
+        vcol = np.asarray(vcol)
+
+    out = os.path.join(args.path, args.out)
+    write_ply(out, verts, faces, np.clip(vcol, 0, 1))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
