@@ -79,14 +79,19 @@ def bench_tpu(scene):
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / ITERS
 
-    # secondary: bf16 forward (f32 accumulators in all reductions), measured
-    # BEFORE the train step so the device is in the same clean state as the
-    # f32 primary — measuring it after left the amsgrad opt-state resident
-    # and produced a spurious 23x "pathology" (370 ms vs the real ~15 ms).
-    # Headline stays f32 for PSNR-parity defensibility.
+    # secondary: bf16 forward (f32 accumulators in all reductions) on the
+    # BANDWIDTH-ORDERED (windowed) graph — the RCM build + windowed one-hot
+    # MXU kernel path (ops/pallas/onehot_gather.py), the bf16 production
+    # configuration. Measured BEFORE the train step so the device is in the
+    # same clean state as the f32 primary — measuring it after left the
+    # amsgrad opt-state resident and produced a spurious 23x "pathology"
+    # (370 ms vs the real ~15 ms). Headline stays f32 for PSNR-parity
+    # defensibility.
     bf16_dt = float("nan")
     if time.perf_counter() - _START < float(
             os.environ.get("BENCH_TRAIN_BUDGET_S", 360)) and DTYPE == "float32":
+        graph16 = jax.device_put(
+            build_hierarchical_graph([scene], windowed=True))
         model16 = define_G(
             input_nc=10, output_nc=3, ngf=NGF, n_blocks=N_BLOCKS,
             dilations=DILATIONS, norm="instance", pooling_type="max",
@@ -99,14 +104,14 @@ def bench_tpu(scene):
             return model16.apply({"params": params},
                                  dataclasses.replace(graph, x=x))
 
-        out16 = chain16(params, graph, out.astype(jnp.float32))
+        out16 = chain16(params, graph16, out.astype(jnp.float32))
         float(jnp.sum(out16.astype(jnp.float32)))
         t0 = time.perf_counter()
         for _ in range(ITERS):
-            out16 = chain16(params, graph, out16)
+            out16 = chain16(params, graph16, out16)
         float(jnp.sum(out16.astype(jnp.float32)))
         bf16_dt = (time.perf_counter() - t0) / ITERS
-        del out16
+        del out16, graph16
 
     # tertiary: full training-step throughput (loss + grads + adam update);
     # remat off — memory is ample at this scale, recompute is pure overhead.

@@ -52,31 +52,45 @@ ELL_MAX_DEGREE = 64
 
 
 def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
-               cap_quantile=0.97, max_spill_frac=0.25):
+               cap_quantile=0.97, max_spill_frac=0.25, window_halo=None):
     """Hybrid ELL(+spill) tables from the (dst-sorted) valid edges.
 
     The slot axis is capped near the `cap_quantile` in-degree: receivers with
     more edges keep the first D_cap in ELL and spill the rest to a COO list
-    (ops/ell.py docstring). Returns a dict with nbr / rev_dst / out_degree /
-    ell_degree / spill (or None for degenerate distributions)."""
+    (ops/ell.py docstring). With `window_halo`, edges with |src - dst| >
+    window_halo ALSO spill, so the ELL tables are banded and the windowed
+    one-hot MXU kernel applies (ops/pallas/onehot_gather.py). Returns a dict
+    with nbr / rev_dst / out_degree / ell_degree / spill (or None for
+    degenerate distributions)."""
     vs, vd = src[:e].astype(np.int64), dst[:e].astype(np.int64)
-    deg = np.bincount(vd, minlength=v_pad)
-    d_in = int(deg.max()) if e else 0
     if e == 0:
+        return None
+    win_ok = (np.abs(vs - vd) <= window_halo if window_halo is not None
+              else np.ones(e, bool))
+    deg = np.bincount(vd[win_ok], minlength=v_pad)
+    d_in = int(deg.max()) if win_ok.any() else 0
+    if d_in == 0:
         return None
     nz = deg[deg > 0]
     d_cap = max(int(np.quantile(nz, cap_quantile)), 4)
     d_cap = min(d_cap, d_in)
-    spill_count = int(np.maximum(deg - d_cap, 0).sum())
-    if d_cap >= d_in or spill_count > max_spill_frac * e:
+    spill_count = (int(np.maximum(deg - d_cap, 0).sum())
+                   + int((~win_ok).sum()))
+    if (d_cap >= d_in or spill_count > max_spill_frac * e) \
+            and window_halo is None:
         d_cap = d_in          # no spill: either unnecessary or unprofitable
     if d_cap > max_deg:
         return None           # hub-dominated graph: plain COO path
 
-    indptr = np.zeros(v_pad + 1, np.int64)
-    np.cumsum(deg, out=indptr[1:])
-    slot = np.arange(e) - indptr[vd]          # position within the dst run
-    keep = slot < d_cap
+    # slot = position within the (dst-sorted) run restricted to in-window
+    # edges: csum_ok[i] counts in-window edges strictly before i, and
+    # run_start_ok[d] is that count at the first edge of d's run
+    csum_ok = np.cumsum(win_ok) - win_ok
+    run_start_ok = np.zeros(v_pad, np.int64)
+    uniq, first = np.unique(vd, return_index=True)
+    run_start_ok[uniq] = csum_ok[first]
+    slot = np.where(win_ok, csum_ok - run_start_ok[vd], d_cap)
+    keep = win_ok & (slot < d_cap)
     nbr = np.full((v_pad, d_cap), trash, np.int32)
     nbr[vd[keep], slot[keep]] = vs[keep]
     ell_deg = np.minimum(deg, d_cap)
@@ -129,17 +143,19 @@ def _build_children(trace, num_valid_fine, coarse_pad, fine_trash,
 
 def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
                   v_pad: int, ell_max_degree: int = ELL_MAX_DEGREE,
-                  cap_quantile: float = 0.97) -> EdgeSet:
+                  cap_quantile: float = 0.97,
+                  window_halo: Optional[int] = None) -> EdgeSet:
     """Sort a [2, E] COO edge array by destination and pad to e_pad with
     trash self-edges. Precomputes the valid in-degree per (padded) vertex
-    and, when the degree bound allows, the ELL/reverse fast-path tables."""
+    and, when the degree bound allows, the ELL/reverse fast-path tables
+    (banded to `window_halo` when given)."""
     src, dst = np.asarray(edges[0]), np.asarray(edges[1])
     order = np.argsort(dst, kind="stable")
     src, dst = src[order], dst[order]
     e = src.shape[0]
     assert e <= e_pad, f"edge bucket too small: {e} > {e_pad}"
     ell = _build_ell(src, dst, e, v_pad, trash, ell_max_degree,
-                     cap_quantile=cap_quantile)
+                     cap_quantile=cap_quantile, window_halo=window_halo)
     pad = e_pad - e
     src = np.concatenate([src, np.full(pad, trash, dtype=np.int64)])
     dst = np.concatenate([dst, np.full(pad, trash, dtype=np.int64)])
@@ -151,9 +167,64 @@ def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
                   out_degree=ell["out_degree"],
                   ell_degree=ell["ell_degree"],
                   spill_src=spill[0] if spill else None,
-                  spill_dst=spill[1] if spill else None)
+                  spill_dst=spill[1] if spill else None,
+                  halo=window_halo)
     return EdgeSet(src=src.astype(np.int32), dst=dst.astype(np.int32),
                    num_edges=np.int32(e), degree=degree, **kw)
+
+
+def reorder_bandwidth(sample: RawHierarchy) -> RawHierarchy:
+    """Permute every level's vertices by reverse-Cuthill-McKee so edges
+    become banded (|src - dst| small), enabling the windowed one-hot MXU
+    aggregation kernel (ops/pallas/onehot_gather.py). Pure relabeling: the
+    graph, features, traces and dilated edge sets are equivalent."""
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    perms = []      # perms[l][new_id] = old_id
+    newids = []     # newids[l][old_id] = new_id
+    for l, nv in enumerate(sample.num_vertices):
+        e = sample.level_edges[l]
+        ones = np.ones(e.shape[1], np.int8)
+        adj = csr_matrix((ones, (e[0], e[1])), shape=(nv, nv))
+        order = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=False),
+                           np.int64)
+        inv = np.empty(nv, np.int64)
+        inv[order] = np.arange(nv)
+        perms.append(order)
+        newids.append(inv)
+
+    def remap_edges(e, l):
+        return newids[l][np.asarray(e, np.int64)]
+
+    new_traces = [newids[l + 1][sample.traces[l].astype(np.int64)][perms[l]]
+                  for l in range(len(sample.traces))]
+    new_dilated = {
+        l: {d: remap_edges(e, l) for d, e in dists.items()}
+        for l, dists in sample.dilated.items()}
+    p0 = perms[0]
+    return dataclasses.replace(
+        sample,
+        x=sample.x[p0], color=sample.color[p0], mask=sample.mask[p0],
+        labels=sample.labels[p0] if sample.labels is not None else None,
+        level_edges=[remap_edges(e, l)
+                     for l, e in enumerate(sample.level_edges)],
+        traces=new_traces,
+        dilated=new_dilated)
+
+
+def _auto_halo(edges: np.ndarray, v_pad: int, quantile: float,
+               tile: int = 256, max_window_frac: float = 0.75):
+    """Pick the window halo from the achieved band distribution; None when
+    the window would cover most of the graph (kernel unprofitable)."""
+    band = np.abs(edges[0].astype(np.int64) - edges[1].astype(np.int64))
+    if band.size == 0:
+        return None
+    halo = int(-(-int(np.quantile(band, quantile)) // 32) * 32)
+    halo = max(halo, 32)
+    if tile + 2 * halo > max_window_frac * v_pad:
+        return None
+    return halo
 
 
 def _concat_features(arrs, pad_rows, pad_value=0):
@@ -171,14 +242,23 @@ def build_hierarchical_graph(
         e_buckets: Optional[Sequence[int]] = None,
         pad_multiple: int = 128,
         geometric: bool = False,
-        ell_cap_quantile: float = 0.97) -> HierarchicalGraph:
+        ell_cap_quantile: float = 0.97,
+        windowed: bool = False,
+        window_quantile: float = 0.999) -> HierarchicalGraph:
     """Batch + pad raw hierarchies into one static-shape HierarchicalGraph.
 
     Vertex ids of sample g at level l are shifted by the cumulative vertex
     count of samples 0..g-1 at that level (the `__inc__` contract). Buckets
     default to rounding the batched totals up to `pad_multiple` (+1 row for
     the trash vertex).
+
+    With `windowed`, samples are RCM-reordered (reorder_bandwidth) and each
+    edge set's ELL tables are banded to an auto-chosen halo (band quantile;
+    out-of-band edges spill to COO), enabling the windowed one-hot MXU
+    aggregation kernel on TPU.
     """
+    if windowed:
+        samples = [reorder_bandwidth(s) for s in samples]
     num_levels = len(samples[0].num_vertices)
     num_graphs = len(samples)
 
@@ -206,8 +286,11 @@ def build_hierarchical_graph(
              for g, s in enumerate(samples)], axis=1)
         e_pad = (int(e_buckets[l]) if e_buckets is not None
                  else bucket_size(edges.shape[1], pad_multiple, geometric))
+        halo = (_auto_halo(edges, v_pad, window_quantile)
+                if windowed else None)
         edge_set = _pad_edge_set(edges, e_pad, trash, v_pad,
-                                 cap_quantile=ell_cap_quantile)
+                                 cap_quantile=ell_cap_quantile,
+                                 window_halo=halo)
 
         dil = {}
         all_dists = sorted({d for s in samples for d in s.dilated.get(l, {})})
@@ -216,8 +299,11 @@ def build_hierarchical_graph(
                 [s.dilated[l][dist] + offsets[l, g]
                  for g, s in enumerate(samples)], axis=1)
             de_pad = bucket_size(de.shape[1], pad_multiple, geometric)
+            dhalo = (_auto_halo(de, v_pad, window_quantile)
+                     if windowed else None)
             dil[int(dist)] = _pad_edge_set(de, de_pad, trash, v_pad,
-                                           cap_quantile=ell_cap_quantile)
+                                           cap_quantile=ell_cap_quantile,
+                                           window_halo=dhalo)
 
         graph_id = np.full(v_pad, num_graphs, dtype=np.int32)
         for g in range(num_graphs):

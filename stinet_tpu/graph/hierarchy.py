@@ -47,6 +47,12 @@ class EdgeSet:
     ell_degree: jax.Array = None  # [V_pad] f32 ELL-resident in-degree
     spill_src: jax.Array = None   # [S_pad] int32 spilled edges, sorted by dst
     spill_dst: jax.Array = None   # [S_pad] int32 (pads -> trash vertex)
+    # Bandwidth bound of the ELL tables on bandwidth-ordered graphs
+    # (build.py: reorder_bandwidth + windowed=True): every ELL-resident edge
+    # satisfies |src - dst| <= halo AND |rev_dst - src| <= halo, enabling the
+    # windowed one-hot MXU kernel (ops/pallas/onehot_gather.py). Static so
+    # kernel dispatch is trace-time.
+    halo: int = struct.field(pytree_node=False, default=None)
 
     @property
     def num_padded_edges(self) -> int:

@@ -151,7 +151,8 @@ class EdgeConvFilter(nn.Module):
             degree=edges.degree.astype(dt) if self.aggr == "mean" else None,
             nbr=edges.nbr, rev_dst=edges.rev_dst,
             out_degree=edges.out_degree, ell_degree=edges.ell_degree,
-            spill_src=edges.spill_src, spill_dst=edges.spill_dst)
+            spill_src=edges.spill_src, spill_dst=edges.spill_dst,
+            halo=getattr(edges, "halo", None))
         return Dense(self.out_features, use_bias=self.use_bias,
                      dtype=dt, name="lin2")(agg)
 

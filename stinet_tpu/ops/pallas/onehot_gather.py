@@ -25,6 +25,10 @@ Forward semantics match ops/ell.py::_forward:
 
     out[v] = sum_d 1[d < deg[v]] * relu(p[v] + q[nbr[v, d]])
 
+bit-for-bit up to one caveat: when the f32 slot sum lands EXACTLY halfway
+between two bf16 neighbors, the final f32->bf16 cast may break the tie
+differently than XLA's (1 ulp; ~0.1% of elements on random inputs).
+
 Requires: V % tile == 0, all nbr within the clamped window (the graph
 builder guarantees it; tests assert it), H % 128 == 0, W % 8 == 0.
 """
@@ -72,12 +76,18 @@ def _windowed_dma(q_hbm, win, sems, w0_of, pipelined, i, n):
     return slot
 
 
+def slot_chunk(tile: int) -> int:
+    """Slots folded per one-hot matmul: M = chunk*tile ~ 1024 keeps the
+    MXU full (per-slot matmuls are latency-bound: measured 4.2 ms vs the
+    2.3 ms fused form at the flagship shape) while bounding the VMEM-
+    resident one-hot/rows buffers."""
+    return max(1, 1024 // tile)
+
+
 def _onehot_rows(nbr_local, window, tile, w, d_slots):
-    """Gather rows window[nbr_local[d, t]] for every slot/receiver as ONE
-    [D*T, W] @ [W, H'] matmul: per-slot matmuls are MXU-latency-bound
-    (measured 4.2 ms vs 3.3 XLA at the flagship shape); the slot axis is
-    folded into M (sublane concat — Mosaic has no cross-lane reshape) so
-    the systolic array stays full."""
+    """Gather rows window[nbr_local[d, t]] for a CHUNK of slots as one
+    [chunk*T, W] @ [W, H'] matmul; the slot axis is folded into M via
+    sublane concat (Mosaic has no cross-lane reshape)."""
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, w), 1)
     onehot = jnp.concatenate(
         [(nbr_local[d, :][:, None] == col).astype(jnp.bfloat16)
@@ -107,15 +117,26 @@ def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
         w0 = w0_of(i)
         nbr_local = nbr_t_ref[...] - w0  # [d_pad, tile], window-relative
         deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
-        p32 = p_ref[...].astype(jnp.float32)
-        rows = _onehot_rows(nbr_local, win[slot], tile, w, d_slots)
+        p16 = p_ref[...]
 
         acc = jnp.zeros((tile, h), jnp.float32)
-        for d in range(d_slots):
-            z = p32 + rows[d * tile:(d + 1) * tile]
-            m = jax.nn.relu(z) if mode == "relu" else (z > 0).astype(
-                jnp.float32)
-            acc = acc + jnp.where(d < deg, m, 0.0)
+        ch = slot_chunk(tile)
+        for c0 in range(0, d_slots, ch):
+            cs = min(ch, d_slots - c0)
+            rows = _onehot_rows(nbr_local[c0:c0 + cs], win[slot], tile, w,
+                                cs)
+            for k in range(cs):
+                d = c0 + k
+                # p + q added in bf16 to match ops/ell.py's compute dtype
+                # bit-for-bit (rows are exact bf16 values in f32);
+                # accumulation stays f32, same slot order
+                z = p16 + rows[k * tile:(k + 1) * tile].astype(jnp.bfloat16)
+                # compare/relu in f32 (exact on upcast bf16): Mosaic has no
+                # bf16 vector cmpf lowering
+                z32 = z.astype(jnp.float32)
+                m = (jax.nn.relu(z32) if mode == "relu"
+                     else (z32 > 0).astype(jnp.float32))
+                acc = acc + jnp.where(d < deg, m, 0.0)
 
         out_ref[...] = acc.astype(out_ref.dtype)
 
@@ -143,15 +164,24 @@ def _kernel_dq(rev_t_ref, deg_ref, q_ref, gp_hbm, out_ref, *,
         w0 = w0_of(i)
         rev_local = rev_t_ref[...] - w0
         deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
-        q32 = q_ref[...].astype(jnp.float32)
-        rows = _onehot_rows(rev_local, win[slot], tile, w, d_slots)
+        q16 = q_ref[...]
 
         acc = jnp.zeros((tile, h), jnp.float32)
-        for d in range(d_slots):
-            g_r = rows[d * tile:(d + 1) * tile, :h]
-            p_r = rows[d * tile:(d + 1) * tile, h:]
-            m = g_r * (p_r + q32 > 0).astype(jnp.float32)
-            acc = acc + jnp.where(d < deg, m, 0.0)
+        ch = slot_chunk(tile)
+        for c0 in range(0, d_slots, ch):
+            cs = min(ch, d_slots - c0)
+            rows = _onehot_rows(rev_local[c0:c0 + cs], win[slot], tile, w,
+                                cs)
+            for k in range(cs):
+                d = c0 + k
+                g_r = rows[k * tile:(k + 1) * tile, :h]
+                # bf16 add matches the XLA VJP's compute dtype; the
+                # compare runs in f32 (exact upcast — Mosaic has no bf16
+                # vector cmpf lowering)
+                p_r = rows[k * tile:(k + 1) * tile, h:].astype(jnp.bfloat16)
+                z32 = (p_r + q16).astype(jnp.float32)
+                m = g_r * (z32 > 0).astype(jnp.float32)
+                acc = acc + jnp.where(d < deg, m, 0.0)
 
         out_ref[...] = acc.astype(out_ref.dtype)
 
