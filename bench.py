@@ -105,6 +105,10 @@ def bench_tpu(scene):
                                  dataclasses.replace(graph, x=x))
 
         out16 = chain16(params, graph16, out.astype(jnp.float32))
+        # warm up the loop signature too: out16 is bf16, the seed call was
+        # f32 — without this the bf16-input recompile (~10 s) lands inside
+        # the timed loop and smears ~250 ms over 40 iters
+        out16 = chain16(params, graph16, out16)
         float(jnp.sum(out16.astype(jnp.float32)))
         t0 = time.perf_counter()
         for _ in range(ITERS):
@@ -249,7 +253,9 @@ def bench_torch_cpu(scene):
     return V / dt, dt
 
 
-def _device_responsive(timeout_s=180):
+def _device_responsive(timeout_s=300):
+    # 300 s: a recovering tunnel was measured taking 166 s to serve its
+    # first dispatch — a 180 s probe window misclassified it as dead.
     """Probe the device in a subprocess: a wedged TPU tunnel hangs any jax
     call in-process, which would leave the driver with no output at all."""
     import subprocess
@@ -268,9 +274,10 @@ def _device_responsive(timeout_s=180):
 # Round-1 self-measured result (BENCH_NOTES.md), embedded in error JSONs so
 # a dead tunnel still reports the last known-good measurement.
 _LAST_GOOD = {
-    "value": 4087361.5, "vs_baseline": 1216.44, "tpu_ms_per_scene": 16.03,
-    "measured": "2026-08-16 round 2 (live tunnel, full worker run: train "
-                "step 67.26 ms, torch-CPU 19504 ms/scene)"}
+    "value": 7736897.1, "vs_baseline": 988.87, "tpu_ms_per_scene": 8.47,
+    "measured": "2026-08-17 round 2 (live tunnel, full worker run: train "
+                "step 34.74 ms, bf16 windowed 8.49 ms, torch-CPU 8376 "
+                "ms/scene; grid-surface synthetic scene, D=6 ELL tables)"}
 
 
 def _worker():
@@ -309,8 +316,8 @@ def main():
     import subprocess
     import sys
 
-    retries = int(os.environ.get("BENCH_RETRIES", 3))
-    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT_S", 90))
+    retries = int(os.environ.get("BENCH_RETRIES", 5))
+    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT_S", 120))
     worker_timeout = float(os.environ.get("BENCH_WORKER_TIMEOUT_S", 1500))
 
     last_error = "device unreachable (tunnel hang)"

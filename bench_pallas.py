@@ -77,6 +77,59 @@ def main():
         print(json.dumps({"bench": "ell_gather", "platform": platform,
                           **row}))
 
+    # windowed one-hot MXU kernel (the ADOPTED bf16 path): op-level fwd and
+    # fwd+bwd vs the XLA row gather on a banded graph at the flagship shape
+    try:
+        from stinet_tpu.ops.pallas.onehot_gather import (
+            windowed_ell_edge_conv_sum)
+        for v, h, d, halo in ((65536, 128, 12, 512), (16384, 256, 12, 512),
+                              (6144, 512, 16, 512), (65536, 128, 6, 256),
+                              (19712, 256, 6, 256)):
+            p16 = jnp.asarray(rng.normal(size=(v, h))).astype(jnp.bfloat16)
+            q16 = jnp.asarray(rng.normal(size=(v, h))).astype(jnp.bfloat16)
+            base = np.arange(v)
+            nbr = jnp.asarray(
+                np.clip(base[:, None] + rng.integers(-halo, halo + 1,
+                                                     size=(v, d)),
+                        0, v - 1).astype(np.int32))
+            rev = jnp.asarray(
+                np.clip(base[:, None] + rng.integers(-halo, halo + 1,
+                                                     size=(v, d)),
+                        0, v - 1).astype(np.int32))
+            deg = jnp.asarray(rng.integers(4, d + 1, size=v)
+                              .astype(np.float32))
+
+            xla_f = jax.jit(lambda p, q: ell_edge_conv_sum(
+                p, q, nbr, rev, deg, deg))
+            win_f = jax.jit(lambda p, q: windowed_ell_edge_conv_sum(
+                halo, 256, False, p, q, nbr, rev, deg, deg))
+
+            def loss(f):
+                return jax.jit(jax.grad(
+                    lambda p, q: jnp.sum(f(p, q).astype(jnp.float32) ** 2),
+                    argnums=(0, 1)))
+
+            row = {"shape": [v, h, d], "halo": halo,
+                   "xla_fwd_ms": round(time_fn(xla_f, p16, q16) * 1e3, 3),
+                   "win_fwd_ms": round(time_fn(win_f, p16, q16) * 1e3, 3)}
+            gx = loss(lambda p, q: ell_edge_conv_sum(p, q, nbr, rev, deg,
+                                                     deg))
+            gw = loss(lambda p, q: windowed_ell_edge_conv_sum(
+                halo, 256, False, p, q, nbr, rev, deg, deg))
+            row["xla_fwdbwd_ms"] = round(
+                time_fn(lambda p, q: gx(p, q)[0], p16, q16) * 1e3, 3)
+            row["win_fwdbwd_ms"] = round(
+                time_fn(lambda p, q: gw(p, q)[0], p16, q16) * 1e3, 3)
+            a = np.asarray(win_f(p16, q16), np.float32)
+            b = np.asarray(xla_f(p16, q16), np.float32)
+            row["ok"] = bool(np.sqrt(((a - b) ** 2).mean())
+                             / max(np.sqrt((b ** 2).mean()), 1e-9) < 0.01)
+            print(json.dumps({"bench": "windowed_onehot",
+                              "platform": platform, **row}))
+    except Exception as e:
+        print(json.dumps({"bench": "windowed_onehot",
+                          "error": str(e)[-300:]}))
+
     # instance norm: pallas two-pass kernel vs XLA masked norm
     try:
         from stinet_tpu.ops.pallas.instance_norm import pallas_instance_norm

@@ -42,6 +42,8 @@ def define_G(input_nc, output_nc, ngf, filter_type, norm="batch",
         dilations=tuple(dilations) if dilations is not None else None,
         checkpoint_bottleneck=checkpoint_bottleneck,
         num_blocks_per_uncheckpointed_block=num_blocks_per_uncheckpointed_block,
+        use_label_embedding=use_label_embedding, num_classes=num_classes,
+        num_embedding=num_embedding,
         remat_io_blocks=remat_io_blocks, dtype=dtype)
 
 

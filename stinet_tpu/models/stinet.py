@@ -262,6 +262,15 @@ class SurfaceTextureInpaintingNet(nn.Module):
     checkpoint_bottleneck: bool = False
     num_blocks_per_uncheckpointed_block: int = 1
     remat_io_blocks: bool = True
+    # Semantic-label conditioning: embed g.labels and concat onto the first
+    # input block's features. The reference constructs this embedding and
+    # widens the first conv (surfacetextureinpaintingnet.py:277-278,322-323)
+    # but its forward concat is commented out (:409-410) — enabling the flag
+    # there would crash on the widened conv. Here the path is ACTIVE and
+    # torch-parity: padding_idx=0 rows embed to zeros.
+    use_label_embedding: bool = False
+    num_classes: Optional[int] = None
+    num_embedding: Optional[int] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -276,10 +285,22 @@ class SurfaceTextureInpaintingNet(nn.Module):
                  if self.remat_io_blocks else GraphResnetBlock)
 
         out = g.x
+        in_nc0 = self.input_nc
+        if self.use_label_embedding:
+            assert g.labels is not None, \
+                "use_label_embedding requires graph.labels"
+            emb = nn.Embed(self.num_classes, self.num_embedding,
+                           dtype=self.dtype, name="label_embedding")(
+                g.labels.astype(jnp.int32))
+            # torch nn.Embedding(padding_idx=0): label 0 embeds to zeros
+            emb = emb * (g.labels != 0).astype(emb.dtype)[:, None]
+            out = jnp.concatenate([out, emb.astype(out.dtype)], axis=-1)
+            in_nc0 = self.input_nc + self.num_embedding
         # --- input blocks (first one translation-invariant if configured)
         for i in range(self.n_repeated_io_convs):
+            in_nc = in_nc0 if i == 0 else self.input_nc
             dim_out = ngf if i == self.n_repeated_io_convs - 1 else self.input_nc
-            out = Block(self.input_nc, dim_out, self.filter_type, self.norm,
+            out = Block(in_nc, dim_out, self.filter_type, self.norm,
                         first=(i == 0), dtype=self.dtype,
                         name=f"input_block_{i}")(
                 out, g.levels[0].edges, g.levels[0], g.num_graphs, train)

@@ -50,14 +50,17 @@ def _windowed_kernel_applies(p, nbr, halo):
     """Static dispatch test for the windowed one-hot MXU kernel
     (ops/pallas/onehot_gather.py): banded ELL tables (halo), bf16 compute
     (one-hot selection is exact on bf16 rows; f32 models keep the gather
-    path so headline numerics are untouched), and H == 128 — measured on
-    v5e: the kernel wins 1.2-1.45x at H=128 (2.3-2.8 ms vs 3.1-3.4 XLA at
-    V=65k) but LOSES at H>=256 (4.1 vs 2.5 at V=16k/H=256: MXU flops
-    double while the row-gather traffic shrinks). Window width is capped
-    so the VMEM working set stays bounded."""
+    path so headline numerics are untouched), and a shape where the kernel
+    measured faster than XLA's row gather on the v5e (bench_pallas.py
+    windowed_onehot rows): at the flagship mesh tables (D=6, halo<=256)
+    it wins 1.3-5x fwd and 1.2-1.5x fwd+bwd for H=128 AND H=256; at
+    H=256/halo=512 and at H=512 the one-hot MXU flops (~ W*H per row)
+    outgrow the shrinking gather traffic and it loses — hence the
+    H-dependent halo cap."""
     v, h = p.shape
-    return (halo is not None and p.dtype == jnp.bfloat16
-            and h == 128 and v % 128 == 0 and halo <= 2048)
+    if halo is None or p.dtype != jnp.bfloat16 or v % 128 != 0:
+        return False
+    return (h == 128 and halo <= 2048) or (h == 256 and halo <= 384)
 
 
 def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
