@@ -253,9 +253,10 @@ def bench_torch_cpu(scene):
     return V / dt, dt
 
 
-def _device_responsive(timeout_s=300):
-    # 300 s: a recovering tunnel was measured taking 166 s to serve its
-    # first dispatch — a 180 s probe window misclassified it as dead.
+def _device_responsive(timeout_s=600):
+    # 600 s: a tunnel recovering from a worker restart was measured taking
+    # 166 s and then 369 s to serve its first dispatch — shorter probe
+    # windows misclassify a recovering device as dead.
     """Probe the device in a subprocess: a wedged TPU tunnel hangs any jax
     call in-process, which would leave the driver with no output at all."""
     import subprocess

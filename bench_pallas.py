@@ -130,6 +130,42 @@ def main():
         print(json.dumps({"bench": "windowed_onehot",
                           "error": str(e)[-300:]}))
 
+    # exact-f32 windowed kernel (bf16x3 planes) vs the XLA f32 row gather —
+    # the headline-dtype candidate: forward must be bit-identical
+    try:
+        from stinet_tpu.ops.pallas.onehot_gather import (
+            windowed_ell_edge_conv_sum_f32)
+        for v, h, d, halo in ((65536, 128, 6, 256), (19712, 256, 6, 256),
+                              (6144, 512, 9, 256), (65536, 128, 12, 512)):
+            p32 = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+            q32 = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+            base = np.arange(v)
+            nbr = jnp.asarray(
+                np.clip(base[:, None] + rng.integers(-halo, halo + 1,
+                                                     size=(v, d)),
+                        0, v - 1).astype(np.int32))
+            rev = jnp.asarray(
+                np.clip(base[:, None] + rng.integers(-halo, halo + 1,
+                                                     size=(v, d)),
+                        0, v - 1).astype(np.int32))
+            deg = jnp.asarray(rng.integers(4, d + 1, size=v)
+                              .astype(np.float32))
+            xla_f = jax.jit(lambda p, q: ell_edge_conv_sum(
+                p, q, nbr, rev, deg, deg))
+            win_f = jax.jit(lambda p, q: windowed_ell_edge_conv_sum_f32(
+                halo, 256, False, p, q, nbr, rev, deg, deg))
+            row = {"shape": [v, h, d], "halo": halo,
+                   "xla_fwd_ms": round(time_fn(xla_f, p32, q32) * 1e3, 3),
+                   "win_fwd_ms": round(time_fn(win_f, p32, q32) * 1e3, 3)}
+            a = np.asarray(win_f(p32, q32))
+            b = np.asarray(xla_f(p32, q32))
+            row["bit_exact"] = bool((a == b).all())
+            print(json.dumps({"bench": "windowed_onehot_f32",
+                              "platform": platform, **row}))
+    except Exception as e:
+        print(json.dumps({"bench": "windowed_onehot_f32",
+                          "error": str(e)[-300:]}))
+
     # instance norm: pallas two-pass kernel vs XLA masked norm
     try:
         from stinet_tpu.ops.pallas.instance_norm import pallas_instance_norm

@@ -58,9 +58,18 @@ def _windowed_kernel_applies(p, nbr, halo):
     outgrow the shrinking gather traffic and it loses — hence the
     H-dependent halo cap."""
     v, h = p.shape
-    if halo is None or p.dtype != jnp.bfloat16 or v % 128 != 0:
+    if halo is None or v % 128 != 0:
         return False
-    return (h == 128 and halo <= 2048) or (h == 256 and halo <= 384)
+    if p.dtype == jnp.bfloat16:
+        return (h == 128 and halo <= 2048) or (h == 256 and halo <= 384)
+    if p.dtype == jnp.float32:
+        # exact bf16x3-plane variant (bit-identical forward at the op
+        # level, XLA backward): only H=256 wins consistently (1.4-1.6x);
+        # H=128 is op-parity but LOSES in the fused model (Pallas call
+        # boundaries + plane-split traffic: full-model 12.3 vs 8.9 ms with
+        # all shapes enabled), H=512's window VMEM cost isn't paid back
+        return h == 256 and halo <= 384
+    return False
 
 
 def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
@@ -89,12 +98,13 @@ def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
         ell_deg = degree if ell_degree is None else ell_degree
         if _windowed_kernel_applies(p, nbr, halo):
             from stinet_tpu.ops.pallas.onehot_gather import (
-                windowed_ell_edge_conv_sum)
+                windowed_ell_edge_conv_sum, windowed_ell_edge_conv_sum_f32)
+            fn = (windowed_ell_edge_conv_sum_f32
+                  if p.dtype == jnp.float32 else windowed_ell_edge_conv_sum)
             tile = 256 if p.shape[0] % 256 == 0 else 128
             interpret = jax.default_backend() != "tpu"
-            out = windowed_ell_edge_conv_sum(
-                halo, tile, interpret, p, q, nbr, rev_dst, ell_deg,
-                out_degree)
+            out = fn(halo, tile, interpret, p, q, nbr, rev_dst, ell_deg,
+                     out_degree)
         else:
             from stinet_tpu.ops.ell import ell_edge_conv_sum
             out = ell_edge_conv_sum(p, q, nbr, rev_dst, ell_deg, out_degree)

@@ -96,11 +96,20 @@ def _onehot_rows(nbr_local, window, tile, w, d_slots):
 
 
 def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
-            tile, d_slots, h, w, halo, v, pipelined, mode):
+            tile, d_slots, h, w, halo, v, pipelined, mode, planes=1):
     """Grid step i: stream window q[w0:w0+W], one one-hot matmul, reduce.
 
     mode='relu': out[v] = sum_d 1[d<deg] relu(p[v] + q[nbr])      (forward)
     mode='step': out[v] = sum_d 1[d<deg] step(p[v] + q[nbr])      (dp / g)
+
+    planes=1: bf16 rows (q_hbm is [V, H] bf16; p + q added in bf16 to
+    match the XLA bf16 path's compute dtype).
+    planes=3: EXACT f32 rows via the bf16x3 split (q_hbm is [V, 3H]: the
+    hi/mid/lo bf16 planes of an f32 q). Each one-hot matmul returns the
+    three planes in f32; (hi + mid) + lo reconstructs the original f32
+    value exactly (hi+mid needs <=17 mantissa bits, the full sum is the
+    representable original, and f32 adds round correctly), so the slot
+    math below is bit-identical to ops/ell.py's f32 path.
     """
     i = pl.program_id(0)
 
@@ -117,7 +126,7 @@ def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
         w0 = w0_of(i)
         nbr_local = nbr_t_ref[...] - w0  # [d_pad, tile], window-relative
         deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
-        p16 = p_ref[...]
+        p_loc = p_ref[...]
 
         acc = jnp.zeros((tile, h), jnp.float32)
         ch = slot_chunk(tile)
@@ -127,13 +136,18 @@ def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
                                 cs)
             for k in range(cs):
                 d = c0 + k
-                # p + q added in bf16 to match ops/ell.py's compute dtype
-                # bit-for-bit (rows are exact bf16 values in f32);
-                # accumulation stays f32, same slot order
-                z = p16 + rows[k * tile:(k + 1) * tile].astype(jnp.bfloat16)
-                # compare/relu in f32 (exact on upcast bf16): Mosaic has no
-                # bf16 vector cmpf lowering
-                z32 = z.astype(jnp.float32)
+                r = rows[k * tile:(k + 1) * tile]
+                if planes == 1:
+                    # p + q added in bf16 to match ops/ell.py's compute
+                    # dtype bit-for-bit (rows are exact bf16 values in
+                    # f32); accumulation stays f32, same slot order.
+                    # compare/relu in f32 (exact on upcast bf16): Mosaic
+                    # has no bf16 vector cmpf lowering
+                    z32 = (p_loc + r.astype(jnp.bfloat16)).astype(
+                        jnp.float32)
+                else:
+                    q_row = (r[:, :h] + r[:, h:2 * h]) + r[:, 2 * h:]
+                    z32 = p_loc.astype(jnp.float32) + q_row
                 m = (jax.nn.relu(z32) if mode == "relu"
                      else (z32 > 0).astype(jnp.float32))
                 acc = acc + jnp.where(d < deg, m, 0.0)
@@ -142,7 +156,7 @@ def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
 
     pl.run_scoped(
         body,
-        win=pltpu.VMEM((2, w, h), jnp.bfloat16),
+        win=pltpu.VMEM((2, w, planes * h), jnp.bfloat16),
         sems=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -202,10 +216,11 @@ def _window_geometry(v, tile, halo):
 
 
 def _call_windowed(kernel_fn, local, windowed, idx, deg, halo, tile,
-                   interpret, h_out):
+                   interpret, h_out, out_dtype=jnp.bfloat16):
     """Shared pallas_call plumbing for the fwd/step/dq kernels: `local` is
-    the per-receiver-tile operand, `windowed` the HBM-resident gather
-    source, `idx` the [V, D] banded index table."""
+    the per-receiver-tile operand (kept in its own dtype), `windowed` the
+    HBM-resident bf16 gather source (callers pre-split f32 into planes),
+    `idx` the [V, D] banded index table."""
     v = local.shape[0]
     d_slots = idx.shape[1]
     halo, w = _window_geometry(v, tile, halo)
@@ -234,11 +249,10 @@ def _call_windowed(kernel_fn, local, windowed, idx, deg, halo, tile,
             out_specs=pl.BlockSpec((tile, h_out), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((v, h_out), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((v, h_out), out_dtype),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(idx_t, deg2, local.astype(jnp.bfloat16),
-      windowed.astype(jnp.bfloat16))
+    )(idx_t, deg2, local, windowed.astype(jnp.bfloat16))
 
 
 def pallas_windowed_edge_conv_sum(p, q, nbr, deg, halo: int,
@@ -253,8 +267,46 @@ def pallas_windowed_edge_conv_sum(p, q, nbr, deg, halo: int,
     nbr: [V, D] int32; deg: [V]. Returns [V, H] in p.dtype.
     """
     out = _call_windowed(
-        functools.partial(_kernel, mode=mode), p, q, nbr, deg, halo, tile,
-        interpret, h_out=p.shape[1])
+        functools.partial(_kernel, mode=mode), p.astype(jnp.bfloat16), q,
+        nbr, deg, halo, tile, interpret, h_out=p.shape[1])
+    return out.astype(p.dtype)
+
+
+def _f32_planes(x):
+    """Exact bf16x3 split of an f32 array: x == hi + mid + lo with each
+    part bf16-representable (x - hi has <=16 significant bits and is exact
+    in f32; its own bf16 remainder has <=8 more). Exactness holds except
+    at the very bottom of the exponent range (|x| near the f32 subnormal
+    floor, where the residuals underflow) and for inf/nan.
+
+    The roundings MUST be lax.reduce_precision, not .astype(bf16).astype
+    (f32): XLA's excess-precision rule elides convert round-trips on TPU,
+    which silently turned hi into x and the residual planes into zeros
+    (measured: the kernel returned hi-only values, bf16-level error)."""
+    x = x.astype(jnp.float32)
+    hi = jax.lax.reduce_precision(x, exponent_bits=8, mantissa_bits=7)
+    r1 = x - hi
+    mid = jax.lax.reduce_precision(r1, exponent_bits=8, mantissa_bits=7)
+    lo = r1 - mid
+    # the casts below are exact: each plane is already bf16-representable
+    return jnp.concatenate([hi.astype(jnp.bfloat16),
+                            mid.astype(jnp.bfloat16),
+                            lo.astype(jnp.bfloat16)], axis=1)
+
+
+def pallas_windowed_edge_conv_sum_f32(p, q, nbr, deg, halo: int,
+                                      tile: int = 256,
+                                      interpret: bool = False,
+                                      mode: str = "relu"):
+    """EXACT f32 variant of pallas_windowed_edge_conv_sum: q is split into
+    three bf16 planes ([V, 3H] window), the one-hot matmul returns the
+    planes in f32, and (hi + mid) + lo reconstructs each gathered row
+    bit-exactly — output is bit-identical to ops/ell.py's f32 path (same
+    slot order, f32 adds)."""
+    out = _call_windowed(
+        functools.partial(_kernel, mode=mode, planes=3),
+        p.astype(jnp.float32), _f32_planes(q), nbr, deg, halo, tile,
+        interpret, h_out=p.shape[1], out_dtype=jnp.float32)
     return out.astype(p.dtype)
 
 
@@ -265,8 +317,8 @@ def pallas_windowed_dq(q, g, p, rev_dst, deg_out, halo: int,
     row pairs via one one-hot matmul against the [g | p] window."""
     gp = jnp.concatenate([g.astype(jnp.bfloat16),
                           p.astype(jnp.bfloat16)], axis=1)
-    out = _call_windowed(_kernel_dq, q, gp, rev_dst, deg_out, halo, tile,
-                         interpret, h_out=q.shape[1])
+    out = _call_windowed(_kernel_dq, q.astype(jnp.bfloat16), gp, rev_dst,
+                         deg_out, halo, tile, interpret, h_out=q.shape[1])
     return out.astype(q.dtype)
 
 
@@ -301,3 +353,29 @@ def _windowed_bwd(halo, tile, interpret, res, g):
 
 
 windowed_ell_edge_conv_sum.defvjp(_windowed_fwd, _windowed_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def windowed_ell_edge_conv_sum_f32(halo, tile, interpret,
+                                   p, q, nbr, rev_dst, deg_in, deg_out):
+    """f32 drop-in for ops/ell.py::ell_edge_conv_sum on bandwidth-ordered
+    graphs: bit-exact windowed one-hot MXU forward (bf16x3 planes); the
+    backward reuses the XLA gather-only VJP (ops/ell.py::_bwd_rule — a 6H
+    plane window would double the dq matmul cost past break-even)."""
+    return pallas_windowed_edge_conv_sum_f32(p, q, nbr, deg_in, halo,
+                                             tile=tile, interpret=interpret)
+
+
+def _windowed_f32_fwd(halo, tile, interpret, p, q, nbr, rev_dst,
+                      deg_in, deg_out):
+    out = pallas_windowed_edge_conv_sum_f32(p, q, nbr, deg_in, halo,
+                                            tile=tile, interpret=interpret)
+    return out, (p, q, nbr, rev_dst, deg_in, deg_out)
+
+
+def _windowed_f32_bwd(halo, tile, interpret, res, g):
+    from stinet_tpu.ops.ell import _bwd_rule
+    return _bwd_rule(res, g)
+
+
+windowed_ell_edge_conv_sum_f32.defvjp(_windowed_f32_fwd, _windowed_f32_bwd)

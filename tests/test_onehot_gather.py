@@ -113,3 +113,57 @@ def test_windowed_vjp_matches_xla_ell():
     np.testing.assert_allclose(np.asarray(dqw, np.float32),
                                np.asarray(dqx, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_f32_planes_reconstruct_exactly():
+    from stinet_tpu.ops.pallas.onehot_gather import _f32_planes
+
+    rng = np.random.default_rng(0)
+    # wide dynamic range: exponents spanning ~1e-30 .. 1e30
+    x = (rng.normal(size=(256, 64))
+         * (10.0 ** rng.integers(-30, 31, size=(256, 1)))).astype(np.float32)
+    h = x.shape[1]
+    # must run under jit: the split guards against XLA's excess-precision
+    # elision of f32->bf16->f32 round-trips (the bug this test pins)
+    planes = np.asarray(jax.jit(_f32_planes)(jnp.asarray(x)))
+    rec = (planes[:, :h].astype(np.float32)
+           + planes[:, h:2 * h].astype(np.float32)) \
+        + planes[:, 2 * h:].astype(np.float32)
+    np.testing.assert_array_equal(rec, x)
+
+
+def test_windowed_f32_bit_exact_vs_xla_ell():
+    """The bf16x3-plane f32 kernel must be BIT-IDENTICAL to ops/ell.py's
+    f32 path — forward and (XLA-reused) backward."""
+    from stinet_tpu.ops.ell import ell_edge_conv_sum
+    from stinet_tpu.ops.pallas.onehot_gather import (
+        windowed_ell_edge_conv_sum_f32)
+
+    v, h, d, halo = 512, 128, 6, 64
+    rng = np.random.default_rng(2)
+    base = np.arange(v)
+    offs = rng.integers(-halo, halo + 1, size=(v, d))
+    nbr = jnp.asarray(np.clip(base[:, None] + offs, 0, v - 1)
+                      .astype(np.int32))
+    rev = jnp.asarray(np.clip(
+        base[:, None] + rng.integers(-halo, halo + 1, size=(v, d)),
+        0, v - 1).astype(np.int32))
+    deg = jnp.asarray(rng.integers(0, d + 1, size=v).astype(np.float32))
+    p = jnp.asarray(rng.normal(size=(v, h)).astype(np.float32))
+    q = jnp.asarray((rng.normal(size=(v, h))
+                     * (10.0 ** rng.integers(-3, 4, size=(v, 1))))
+                    .astype(np.float32))
+
+    def win(p, q):
+        return windowed_ell_edge_conv_sum_f32(halo, 128, True, p, q, nbr,
+                                              rev, deg, deg)
+
+    def xla(p, q):
+        return ell_edge_conv_sum(p, q, nbr, rev, deg, deg)
+
+    np.testing.assert_array_equal(np.asarray(jax.jit(win)(p, q)),
+                                  np.asarray(jax.jit(xla)(p, q)))
+    gw = jax.grad(lambda p, q: jnp.sum(win(p, q) ** 2), argnums=(0, 1))(p, q)
+    gx = jax.grad(lambda p, q: jnp.sum(xla(p, q) ** 2), argnums=(0, 1))(p, q)
+    np.testing.assert_array_equal(np.asarray(gw[0]), np.asarray(gx[0]))
+    np.testing.assert_array_equal(np.asarray(gw[1]), np.asarray(gx[1]))
