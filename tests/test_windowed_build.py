@@ -58,6 +58,45 @@ def test_windowed_build_bands_ell_tables():
         assert deg.sum() + n_spill == int(e.num_edges)
 
 
+def test_full_model_windowed_f32_bit_exact():
+    """f32 model on a windowed graph (H=256 levels dispatch the bf16x3
+    exact kernel) vs the same graph with halos stripped: outputs must be
+    BIT-IDENTICAL — the f32 kernel is exact, unlike the bf16 one whose
+    cast tie-breaking the test below tolerates."""
+    import dataclasses
+
+    from stinet_tpu.models.factory import define_G
+
+    scene = _scene()
+    g_win = build_hierarchical_graph([scene], windowed=True)
+
+    def strip(es):
+        return dataclasses.replace(es, halo=None) if es is not None else es
+
+    levels = tuple(dataclasses.replace(
+        lev, edges=strip(lev.edges),
+        dilated={d: strip(e) for d, e in lev.dilated.items()})
+        for lev in g_win.levels)
+    g_nohalo = dataclasses.replace(g_win, levels=levels)
+
+    from stinet_tpu.ops.message_passing import _windowed_kernel_applies
+    assert any(
+        e.nbr is not None and _windowed_kernel_applies(
+            jnp.zeros((e.nbr.shape[0], 256), jnp.float32), e.nbr, e.halo)
+        for e in (lev.edges for lev in g_win.levels)), \
+        "no level dispatches the f32 kernel — test is vacuous"
+
+    model = define_G(input_nc=10, output_nc=3, ngf=64, n_blocks=2,
+                     dilations=[1, 2], norm="instance", pooling_type="max",
+                     n_levels=2, n_repeated_io_convs=1,
+                     filter_type="edgeconvtransinv")
+    params = jax.jit(model.init)(jax.random.key(0), g_nohalo)["params"]
+    a = np.asarray(model.apply({"params": params}, g_win))
+    b = np.asarray(model.apply({"params": params}, g_nohalo))
+    nv = int(scene.num_vertices[0])
+    np.testing.assert_array_equal(a[:nv], b[:nv])
+
+
 def test_full_model_windowed_matches_gather_path_bf16():
     """Same windowed graph run twice — once with halos (windowed one-hot
     kernel dispatched) and once with halos stripped (XLA gather path on the
