@@ -222,12 +222,16 @@ class _SceneLoader:
     shapes."""
 
     def __init__(self, dataset, batch_size, shuffle, seed=0,
-                 pad_multiple=512):
+                 pad_multiple=512, windowed=False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
         self.pad_multiple = pad_multiple
+        # RCM bandwidth ordering + banded ELL tables, enabling the windowed
+        # one-hot MXU kernels (config key "windowed_graphs"; measured wins
+        # for bf16 models, see ops/pallas/README.md)
+        self.windowed = windowed
 
     def __len__(self):
         return max(len(self.dataset) // self.batch_size, 1) \
@@ -241,7 +245,8 @@ class _SceneLoader:
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
             samples = [self.dataset[i] for i in sel]
             yield (build_hierarchical_graph(
-                samples, pad_multiple=self.pad_multiple, geometric=True),
+                samples, pad_multiple=self.pad_multiple, geometric=True,
+                windowed=self.windowed),
                 [s.name for s in samples])
 
     def __iter__(self):
@@ -283,8 +288,22 @@ class ScanNetGraphColorDataLoader:
                           self.val_dataset.index2filenames,
                           train_cropped=not c.get("no_train_cropped", True))
 
+        windowed = bool(c.get("windowed_graphs", False))
         self.train_loader = _SceneLoader(
             self.train_dataset, c["train_batch_size"], shuffle=True,
-            seed=seed)
+            seed=seed, windowed=windowed)
         self.val_loader = _SceneLoader(
-            self.val_dataset, c["test_batch_size"], shuffle=False)
+            self.val_dataset, c["test_batch_size"], shuffle=False,
+            windowed=windowed)
+
+    def get_mesh(self, scene_name):
+        """Original full-resolution scan mesh for visualization (reference
+        scannetcolorgraph_dataloader.py:240-243); requires open3d and the
+        raw `<scene>_vh_clean_2.ply` next to the graphs dir."""
+        import open3d as o3d
+        root = self.config.get("scans_dir",
+                               os.path.join(self.config["val_root_dir"],
+                                            "scans"))
+        path = os.path.join(root, scene_name,
+                            f"{scene_name}_vh_clean_2.ply")
+        return o3d.io.read_triangle_mesh(path)

@@ -58,6 +58,23 @@ def test_windowed_build_bands_ell_tables():
         assert deg.sum() + n_spill == int(e.num_edges)
 
 
+def test_scene_loader_windowed_knob():
+    """The production loader path ("windowed_graphs" config key ->
+    _SceneLoader(windowed=True)) must emit graphs with banded (halo'd)
+    ELL tables on bandable meshes."""
+    from stinet_tpu.data.scannet import _SceneLoader
+
+    scenes = [_scene(v=1024)]
+    loader = _SceneLoader(scenes, batch_size=1, shuffle=False,
+                          pad_multiple=128, windowed=True)
+    g, names = next(iter(loader))
+    assert any(lev.edges.halo is not None for lev in g.levels)
+    plain = _SceneLoader(scenes, batch_size=1, shuffle=False,
+                         pad_multiple=128)
+    g2, _ = next(iter(plain))
+    assert all(lev.edges.halo is None for lev in g2.levels)
+
+
 def test_full_model_windowed_f32_bit_exact():
     """f32 model on a windowed graph (H=256 levels dispatch the bf16x3
     exact kernel) vs the same graph with halos stripped: outputs must be
