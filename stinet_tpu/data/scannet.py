@@ -301,9 +301,13 @@ class ScanNetGraphColorDataLoader:
         scannetcolorgraph_dataloader.py:240-243); requires open3d and the
         raw `<scene>_vh_clean_2.ply` next to the graphs dir."""
         import open3d as o3d
-        root = self.config.get("scans_dir",
-                               os.path.join(self.config["val_root_dir"],
-                                            "scans"))
+        root = self.config.get(
+            "original_meshes_dir",
+            os.path.join(self.config["val_root_dir"], "scans"))
         path = os.path.join(root, scene_name,
                             f"{scene_name}_vh_clean_2.ply")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"original scan mesh not found: {path} (set "
+                "data_loader.args.original_meshes_dir)")
         return o3d.io.read_triangle_mesh(path)

@@ -213,16 +213,27 @@ def reorder_bandwidth(sample: RawHierarchy) -> RawHierarchy:
         dilated=new_dilated)
 
 
+# Static halo ladder: `halo` is a non-pytree (trace-time) field of EdgeSet,
+# so every distinct value compiles a distinct program. Rounding the
+# data-dependent band quantile UP onto this bounded ladder keeps the
+# compiled-program count bounded over arbitrary scenes (the same contract
+# geometric edge bucketing gives the array shapes). Values are chosen so
+# the dispatch caps in ops/message_passing.py (384, 2048) are exactly
+# representable.
+_HALO_LADDER = (32, 64, 96, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+
+
 def _auto_halo(edges: np.ndarray, v_pad: int, quantile: float,
                tile: int = 256, max_window_frac: float = 0.75):
-    """Pick the window halo from the achieved band distribution; None when
-    the window would cover most of the graph (kernel unprofitable)."""
+    """Pick the window halo from the achieved band distribution, rounded up
+    onto _HALO_LADDER; None when the band exceeds the ladder or the window
+    would cover most of the graph (kernel unprofitable)."""
     band = np.abs(edges[0].astype(np.int64) - edges[1].astype(np.int64))
     if band.size == 0:
         return None
-    halo = int(-(-int(np.quantile(band, quantile)) // 32) * 32)
-    halo = max(halo, 32)
-    if tile + 2 * halo > max_window_frac * v_pad:
+    need = max(int(np.quantile(band, quantile)), 1)
+    halo = next((h for h in _HALO_LADDER if h >= need), None)
+    if halo is None or tile + 2 * halo > max_window_frac * v_pad:
         return None
     return halo
 

@@ -152,7 +152,7 @@ class EdgeConvFilter(nn.Module):
             nbr=edges.nbr, rev_dst=edges.rev_dst,
             out_degree=edges.out_degree, ell_degree=edges.ell_degree,
             spill_src=edges.spill_src, spill_dst=edges.spill_dst,
-            halo=getattr(edges, "halo", None))
+            halo=edges.halo)
         return Dense(self.out_features, use_bias=self.use_bias,
                      dtype=dt, name="lin2")(agg)
 

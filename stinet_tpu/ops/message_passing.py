@@ -57,8 +57,15 @@ def _windowed_kernel_applies(p, nbr, halo):
     H=256/halo=512 and at H=512 the one-hot MXU flops (~ W*H per row)
     outgrow the shrinking gather traffic and it loses — hence the
     H-dependent halo cap."""
+    import os
     v, h = p.shape
     if halo is None or v % 128 != 0:
+        return False
+    # Pallas only pays off compiled-for-TPU; on CPU/GPU the kernel would
+    # run in INTERPRET mode — orders of magnitude slower than the XLA
+    # gather fallback. Tests opt in via STINET_WINDOWED_INTERPRET=1.
+    if (jax.default_backend() != "tpu"
+            and not os.environ.get("STINET_WINDOWED_INTERPRET")):
         return False
     if p.dtype == jnp.bfloat16:
         return (h == 128 and halo <= 2048) or (h == 256 and halo <= 384)

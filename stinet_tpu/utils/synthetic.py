@@ -74,15 +74,25 @@ def grid_block_trace(n_fine: int, n_coarse: int) -> np.ndarray:
     rc = np.minimum(r * hc // hf, hc - 1)
     cc = np.minimum(c * wc // wf, wc - 1)
     t = np.minimum(rc * wc + cc, n_coarse - 1).astype(np.int64)
-    # coarse cells whose preimage block falls entirely in the missing tail
-    # of the (partial) last fine row get patched with the nearest fine
-    # vertex, keeping the map surjective AND local
-    missing = np.setdiff1d(np.arange(n_coarse), t)
-    for m in missing:
+    # Coarse cells with an empty preimage (their block falls entirely in
+    # the missing tail of the partial last fine row) get patched with the
+    # geometrically nearest fine vertex WHOSE CURRENT TARGET KEEPS >= 2
+    # preimages — reassigning a sole preimage would just move the hole
+    # (n_fine >= n_coarse guarantees such a donor exists while any cell
+    # is missing). Keeps the map surjective AND local.
+    counts = np.bincount(t, minlength=n_coarse)
+    for m in np.nonzero(counts == 0)[0]:
         mr, mc = m // wc, m % wc
-        fr = min((mr * hf + hf // (2 * hc)) // hc, hf - 1)
-        fc = min((mc * wf + wf // (2 * wc)) // wc, wf - 1)
-        t[min(fr * wf + fc, n_fine - 1)] = m
+        # fine-grid coordinates of the missing cell's center
+        fr = (mr * hf + hf // 2) / hc
+        fc = (mc * wf + wf // 2) / wc
+        d2 = (r - fr) ** 2 + (c - fc) ** 2
+        for f in np.argsort(d2):
+            if counts[t[f]] >= 2:
+                counts[t[f]] -= 1
+                t[f] = m
+                counts[m] = 1
+                break
     return t
 
 

@@ -39,6 +39,19 @@ def test_reorder_bandwidth_preserves_graph():
             range(r.num_vertices[l + 1]))
 
 
+@pytest.mark.parametrize("nf,nc", [
+    (1684, 787), (1388, 692), (2416, 1185),  # sizes where the old greedy
+    # patch overwrote sole preimages / collided on donors
+    (1388, 1388), (100, 9),
+])
+def test_grid_block_trace_surjective(nf, nc):
+    from stinet_tpu.utils.synthetic import grid_block_trace
+    t = grid_block_trace(nf, nc)
+    counts = np.bincount(t, minlength=nc)
+    assert (counts > 0).all(), f"{(counts == 0).sum()} coarse cells orphaned"
+    assert t.min() >= 0 and t.max() < nc
+
+
 def test_windowed_build_bands_ell_tables():
     g = build_hierarchical_graph([_scene()], windowed=True)
     for l, lev in enumerate(g.levels):
@@ -75,11 +88,12 @@ def test_scene_loader_windowed_knob():
     assert all(lev.edges.halo is None for lev in g2.levels)
 
 
-def test_full_model_windowed_f32_bit_exact():
+def test_full_model_windowed_f32_bit_exact(monkeypatch):
     """f32 model on a windowed graph (H=256 levels dispatch the bf16x3
     exact kernel) vs the same graph with halos stripped: outputs must be
     BIT-IDENTICAL — the f32 kernel is exact, unlike the bf16 one whose
     cast tie-breaking the test below tolerates."""
+    monkeypatch.setenv("STINET_WINDOWED_INTERPRET", "1")
     import dataclasses
 
     from stinet_tpu.models.factory import define_G
@@ -114,11 +128,12 @@ def test_full_model_windowed_f32_bit_exact():
     np.testing.assert_array_equal(a[:nv], b[:nv])
 
 
-def test_full_model_windowed_matches_gather_path_bf16():
+def test_full_model_windowed_matches_gather_path_bf16(monkeypatch):
     """Same windowed graph run twice — once with halos (windowed one-hot
     kernel dispatched) and once with halos stripped (XLA gather path on the
     IDENTICAL ELL tables): isolates the kernel's numerics from graph
     rebuild effects (slot assignment / spill / summation order)."""
+    monkeypatch.setenv("STINET_WINDOWED_INTERPRET", "1")
     import dataclasses
 
     from stinet_tpu.models.factory import define_G
