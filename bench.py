@@ -275,10 +275,11 @@ def _device_responsive(timeout_s=600):
 # Round-1 self-measured result (BENCH_NOTES.md), embedded in error JSONs so
 # a dead tunnel still reports the last known-good measurement.
 _LAST_GOOD = {
-    "value": 7736897.1, "vs_baseline": 988.87, "tpu_ms_per_scene": 8.47,
-    "measured": "2026-08-17 round 2 (live tunnel, full worker run: train "
-                "step 34.74 ms, bf16 windowed 8.49 ms, torch-CPU 8376 "
-                "ms/scene; grid-surface synthetic scene, D=6 ELL tables)"}
+    "value": 7292433.2, "vs_baseline": 1188.92, "tpu_ms_per_scene": 8.99,
+    "measured": "2026-08-17 round 2 end (live tunnel, full worker run: "
+                "train step 34.72 ms, bf16 windowed 8.14 ms, torch-CPU "
+                "10685 ms/scene; grid-surface synthetic scene, halo "
+                "ladder build)"}
 
 
 def _worker():
