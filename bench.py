@@ -7,16 +7,30 @@ PSNR parity. This script times
   * a PyTorch-CPU implementation of the same network semantics (per-edge
     concat-MLP EdgeConv via index_select/index_add, per-graph instance norm,
     trace pooling), standing in for the reference's torch-geometric CPU path,
-on the same synthetic ScanNet-scale scene, then prints ONE JSON line.
+on the same synthetic ScanNet-scale scene, then prints JSON lines.
 
-Env knobs: BENCH_V (vertices, default 65536), BENCH_ITERS, BENCH_CPU_ITERS.
+Output contract (the driver parses the LAST parseable JSON line):
+  line 1 (immediately, flushed): the last validated self-measured result,
+      tagged detail.stale=true — so a timeout kill at ANY point still leaves
+      a parseable line;
+  subsequent lines: live measurements, cumulative (f32+CPU baseline first,
+      then +bf16 windowed, then +train step), each printed the moment its
+      stage completes. A kill mid-run leaves the newest completed stage.
+
+Env knobs: BENCH_V (vertices, default 65536), BENCH_ITERS, BENCH_CPU_ITERS,
+BENCH_WALL_BUDGET_S (hard total budget, default 480 s — stages that do not
+fit are skipped; the script ALWAYS exits 0 within the budget).
 """
 import json
 import os
+import sys
 import time
 
-# persistent compilation cache: repeated bench runs skip the large unrolled
-# compiles (the driver runs this script fresh each round)
+_WALL_START = time.time()
+WALL_BUDGET = float(os.environ.get("BENCH_WALL_BUDGET_S", 480))
+
+# persistent compilation cache: repeated bench runs skip the large compiles
+# (the driver runs this script fresh each round; /tmp persists on this host)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
@@ -24,15 +38,33 @@ import numpy as np
 
 V = int(os.environ.get("BENCH_V", 65536))
 ITERS = int(os.environ.get("BENCH_ITERS", 40))
-CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 1))
+CPU_ITERS = int(os.environ.get("BENCH_CPU_ITERS", 3))
+CPU_THREADS = int(os.environ.get("BENCH_CPU_THREADS", 8))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")  # headline stays f32 for
 #                                                   PSNR-parity defensibility
 NGF = 64
 N_BLOCKS = 9
 DILATIONS = [1, 1, 1, 2, 4, 8, 16, 1, 1]
 
+METRIC = "stinet3d_inference_vertices_per_sec_per_chip"
 
-_START = time.perf_counter()
+# Last validated self-measured result (BENCH_NOTES.md), printed FIRST so a
+# driver timeout at any point still leaves a parseable line, and re-printed
+# (tagged stale) if no live measurement lands inside the wall budget.
+_LAST_GOOD = {
+    "value": 7292433.2, "vs_baseline": 1188.92, "tpu_ms_per_scene": 8.99,
+    "measured": "2026-08-17 round 2 end (live tunnel, full worker run: "
+                "train step 34.72 ms, bf16 windowed 8.14 ms, torch-CPU "
+                "10685 ms/scene; grid-surface synthetic scene, halo "
+                "ladder build)"}
+
+
+def _deadline():
+    return float(os.environ.get("BENCH_DEADLINE", _WALL_START + WALL_BUDGET))
+
+
+def _remaining():
+    return _deadline() - time.time()
 
 
 def build_scene():
@@ -41,7 +73,11 @@ def build_scene():
                            dilation_dists=(2, 4, 8, 16))
 
 
-def bench_tpu(scene):
+def bench_tpu_stages(scene):
+    """Generator: yields a detail-dict fragment after each completed stage
+    (f32 inference; bf16 windowed inference; train step). Later stages are
+    skipped when the wall deadline approaches so earlier results still
+    print."""
     import jax
     from stinet_tpu.graph.build import build_hierarchical_graph
     from stinet_tpu.models.factory import define_G
@@ -79,6 +115,10 @@ def bench_tpu(scene):
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / ITERS
 
+    yield {"platform": jax.devices()[0].platform,
+           "tpu_ms_per_scene": round(dt * 1e3, 2),
+           "_vps": V / dt}
+
     # secondary: bf16 forward (f32 accumulators in all reductions) on the
     # BANDWIDTH-ORDERED (windowed) graph — the RCM build + windowed one-hot
     # MXU kernel path (ops/pallas/onehot_gather.py), the bf16 production
@@ -87,9 +127,7 @@ def bench_tpu(scene):
     # amsgrad opt-state resident and produced a spurious 23x "pathology"
     # (370 ms vs the real ~15 ms). Headline stays f32 for PSNR-parity
     # defensibility.
-    bf16_dt = float("nan")
-    if time.perf_counter() - _START < float(
-            os.environ.get("BENCH_TRAIN_BUDGET_S", 360)) and DTYPE == "float32":
+    if _remaining() > 90 and DTYPE == "float32":
         graph16 = jax.device_put(
             build_hierarchical_graph([scene], windowed=True))
         model16 = define_G(
@@ -116,14 +154,14 @@ def bench_tpu(scene):
         float(jnp.sum(out16.astype(jnp.float32)))
         bf16_dt = (time.perf_counter() - t0) / ITERS
         del out16, graph16
+        yield {"bf16_ms_per_scene": round(bf16_dt * 1e3, 2)}
 
     # tertiary: full training-step throughput (loss + grads + adam update);
     # remat off — memory is ample at this scale, recompute is pure overhead.
-    # Skipped when the primary measurement already consumed the time budget
-    # (cold compiles on a fresh machine) so the JSON line always prints.
-    if time.perf_counter() - _START > float(
-            os.environ.get("BENCH_TRAIN_BUDGET_S", 360)):
-        return V / dt, dt, jax.devices()[0].platform, float("nan"), bf16_dt
+    # Skipped when earlier stages consumed the budget (cold compiles on a
+    # fresh machine) so the earlier JSON lines stand.
+    if _remaining() < 90:
+        return
     import optax
     from stinet_tpu.trainers.graph_common import (
         build_optimizer, inpainting_loss)
@@ -157,13 +195,18 @@ def bench_tpu(scene):
         params2, opt_state, out = train_step(params2, opt_state, graph, out)
     float(jnp.sum(out))
     train_dt = (time.perf_counter() - t0) / train_iters
-    return V / dt, dt, jax.devices()[0].platform, train_dt, bf16_dt
+    yield {"tpu_train_step_ms": round(train_dt * 1e3, 2),
+           "train_vertices_per_sec": round(V / train_dt, 1)}
 
 
-def bench_torch_cpu(scene):
-    """Reference-semantics STINet forward in pure torch (CPU)."""
+def bench_torch_cpu(scene, iters):
+    """Reference-semantics STINet forward in pure torch (CPU).
+
+    Thread count is PINNED (not cpu_count) and the reported time is the
+    MEDIAN of `iters` runs: the denominator previously swung 8.4-42.9 s with
+    host load, moving vs_baseline 989x-2644x with zero repo changes."""
     import torch
-    torch.set_num_threads(os.cpu_count() or 8)
+    torch.set_num_threads(CPU_THREADS)
 
     nv = scene.num_vertices
     edges = [torch.from_numpy(e.astype(np.int64)) for e in scene.level_edges]
@@ -244,23 +287,26 @@ def bench_torch_cpu(scene):
         out = out @ blocks["fin2"][0] + blocks["fin2"][1]
         return torch.tanh(out)
 
+    times = []
     with torch.no_grad():
         forward()  # warmup
-        t0 = time.perf_counter()
-        for _ in range(CPU_ITERS):
+        for _ in range(max(iters, 1)):
+            t0 = time.perf_counter()
             forward()
-        dt = (time.perf_counter() - t0) / CPU_ITERS
-    return V / dt, dt
+            times.append(time.perf_counter() - t0)
+            if _remaining() < 60 and times:
+                break  # keep enough budget to print + run later stages
+    dt = float(np.median(times))
+    return V / dt, dt, len(times)
 
 
-def _device_responsive(timeout_s=600):
-    # 600 s: a tunnel recovering from a worker restart was measured taking
-    # 166 s and then 369 s to serve its first dispatch — shorter probe
-    # windows misclassify a recovering device as dead.
+def _device_responsive(timeout_s):
+    # A tunnel recovering from a worker restart was measured taking 166 s and
+    # then 369 s to serve its first dispatch — short probe windows
+    # misclassify a recovering device as dead; the wall budget caps us anyway.
     """Probe the device in a subprocess: a wedged TPU tunnel hangs any jax
     call in-process, which would leave the driver with no output at all."""
     import subprocess
-    import sys
     try:
         r = subprocess.run(
             [sys.executable, "-c",
@@ -272,14 +318,18 @@ def _device_responsive(timeout_s=600):
         return False
 
 
-# Round-1 self-measured result (BENCH_NOTES.md), embedded in error JSONs so
-# a dead tunnel still reports the last known-good measurement.
-_LAST_GOOD = {
-    "value": 7292433.2, "vs_baseline": 1188.92, "tpu_ms_per_scene": 8.99,
-    "measured": "2026-08-17 round 2 end (live tunnel, full worker run: "
-                "train step 34.72 ms, bf16 windowed 8.14 ms, torch-CPU "
-                "10685 ms/scene; grid-surface synthetic scene, halo "
-                "ladder build)"}
+def _result_line(value, vs_baseline, detail):
+    return json.dumps({
+        "metric": METRIC, "value": value, "unit": "vertices/s",
+        "vs_baseline": vs_baseline, "detail": detail})
+
+
+def _stale_line(note):
+    d = dict(_LAST_GOOD)
+    value = d.pop("value")
+    vs = d.pop("vs_baseline")
+    d.update({"stale": True, "note": note, "V": V, "dtype": DTYPE})
+    return _result_line(value, vs, d)
 
 
 def _worker():
@@ -289,72 +339,98 @@ def _worker():
         import jax
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     scene = build_scene()
-    tpu_vps, tpu_dt, platform, train_dt, bf16_dt = bench_tpu(scene)
-    cpu_vps, cpu_dt = bench_torch_cpu(scene)
-    print(json.dumps({
-        "metric": "stinet3d_inference_vertices_per_sec_per_chip",
-        "value": round(tpu_vps, 1),
-        "unit": "vertices/s",
-        "vs_baseline": round(tpu_vps / cpu_vps, 2),
-        "detail": {
-            "V": V, "platform": platform, "dtype": DTYPE,
-            "tpu_ms_per_scene": round(tpu_dt * 1e3, 2),
-            "tpu_train_step_ms": (round(train_dt * 1e3, 2)
-                                  if train_dt == train_dt else None),
-            "train_vertices_per_sec": (round(V / train_dt, 1)
-                                       if train_dt == train_dt else None),
-            "bf16_ms_per_scene": (round(bf16_dt * 1e3, 2)
-                                  if bf16_dt == bf16_dt else None),
-            "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
-            "torch_cpu_vertices_per_sec": round(cpu_vps, 1),
-        },
-    }))
+    detail = {"V": V, "dtype": DTYPE}
+    stages = bench_tpu_stages(scene)
+
+    first = next(stages)  # f32 inference — the headline number
+    tpu_vps = first.pop("_vps")
+    detail.update(first)
+
+    # CPU baseline immediately after the headline stage so the FIRST printed
+    # live line already carries a real vs_baseline
+    cpu_vps, cpu_dt, cpu_runs = bench_torch_cpu(scene, CPU_ITERS)
+    detail.update({
+        "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
+        "torch_cpu_vertices_per_sec": round(cpu_vps, 1),
+        "torch_cpu_median_of": cpu_runs,
+        "torch_cpu_threads": CPU_THREADS,
+    })
+    print(_result_line(round(tpu_vps, 1), round(tpu_vps / cpu_vps, 2),
+                       dict(detail)), flush=True)
+
+    for fragment in stages:  # bf16 windowed, then train step
+        detail.update(fragment)
+        print(_result_line(round(tpu_vps, 1), round(tpu_vps / cpu_vps, 2),
+                           dict(detail)), flush=True)
+
+
+def _run_worker_streaming(deadline):
+    """Launch the worker subprocess, re-printing (flushed) every parseable
+    JSON line the moment it appears, so a driver kill mid-measurement keeps
+    every completed stage. Returns (lines_printed, returncode, stderr_tail)."""
+    import subprocess
+    import tempfile
+    import threading
+
+    env = dict(os.environ, BENCH_DEADLINE=str(deadline))
+    with tempfile.TemporaryFile(mode="w+") as errf:
+        proc = subprocess.Popen([sys.executable, __file__, "--worker"],
+                                stdout=subprocess.PIPE, stderr=errf,
+                                text=True, env=env)
+        printed = []
+
+        def _pump():
+            for line in proc.stdout:
+                line = line.strip()
+                try:
+                    json.loads(line)
+                except (json.JSONDecodeError, ValueError):
+                    continue
+                print(line, flush=True)
+                printed.append(line)
+
+        t = threading.Thread(target=_pump, daemon=True)
+        t.start()
+        while proc.poll() is None and time.time() < deadline:
+            time.sleep(0.5)
+        if proc.poll() is None:
+            proc.kill()
+        t.join(timeout=15)
+        errf.seek(0)
+        tail = errf.read()[-400:].replace("\n", " | ")
+    return printed, proc.returncode, tail
 
 
 def main():
-    """Driver entry: bounded retries around a subprocess worker so a tunnel
-    that wedges MID-measurement still yields a JSON line (VERDICT r1 item 1:
-    retries + reconnect + partial-result error JSON)."""
-    import subprocess
-    import sys
+    """Driver entry. Contract: ALWAYS prints the last-good line first
+    (flushed), then live-measurement lines as stages complete; exits 0 within
+    BENCH_WALL_BUDGET_S. The driver parses the last parseable line, so a
+    timeout kill at any point still yields a result (VERDICT r2 item 1)."""
+    print(_stale_line("printed at start as a timeout-kill fallback; "
+                      "superseded by any later line"), flush=True)
 
     retries = int(os.environ.get("BENCH_RETRIES", 5))
-    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT_S", 120))
-    worker_timeout = float(os.environ.get("BENCH_WORKER_TIMEOUT_S", 1500))
+    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT_S", 30))
 
-    last_error = "device unreachable (tunnel hang)"
+    last_error = "wall budget exhausted before any attempt"
     for attempt in range(retries):
+        remaining = _deadline() - time.time()
+        if remaining < 90:
+            break
         if attempt:
-            time.sleep(retry_wait)
-        if not _device_responsive():
+            time.sleep(min(retry_wait, max(remaining - 75, 0)))
+        probe_t = max(30, min(_deadline() - time.time() - 60, 600))
+        if not _device_responsive(probe_t):
             last_error = "device unreachable (tunnel hang)"
             continue
-        try:
-            r = subprocess.run([sys.executable, __file__, "--worker"],
-                               timeout=worker_timeout, capture_output=True,
-                               text=True)
-        except subprocess.TimeoutExpired:
-            last_error = f"worker timeout after {worker_timeout}s"
-            continue
-        for line in reversed((r.stdout or "").strip().splitlines()):
-            try:
-                parsed = json.loads(line)
-            except json.JSONDecodeError:
-                continue
-            print(line)
-            return
-        last_error = (f"worker rc={r.returncode}: "
-                      + (r.stderr or "")[-400:].replace("\n", " | "))
-    print(json.dumps({
-        "metric": "stinet3d_inference_vertices_per_sec_per_chip",
-        "value": 0, "unit": "vertices/s", "vs_baseline": 0,
-        "error": f"{last_error}; after {retries} attempts. Last good "
-                 "self-measured result embedded in detail.",
-        "detail": {"last_self_measured": _LAST_GOOD}}))
+        printed, rc, err = _run_worker_streaming(_deadline() - 5)
+        if printed:
+            return  # live lines already emitted; last one is the result
+        last_error = f"worker rc={rc}: {err}"
+    print(_stale_line(f"no live measurement: {last_error}"), flush=True)
 
 
 if __name__ == "__main__":
-    import sys
     if "--worker" in sys.argv:
         _worker()
     else:
