@@ -7,7 +7,6 @@ layer weights [0.125, 0.25, 0.5, 1.0] and Gram-matrix style loss.
 NHWC flax; pretrained torchvision weights are converted offline with
 `convert_torch_vgg16` (no download possible in this environment; without
 weights the loss still runs for plumbing tests)."""
-import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -63,15 +62,18 @@ class VGGLoss:
         self.resize_to = resize_to
 
     def _prep(self, img):
-        # [-1,1] -> [0,1], RGB->BGR swap as the reference does, normalize
-        img = img / 2.0 + 0.5
+        # the reference maps with clamp(X + 0.5, 0, 1) — a [-0.5, 0.5]
+        # domain mapper that SATURATES on the [-1, 1] images its trainer
+        # actually feeds it (vgg16.py:30; imagegraph Normalize is [-1, 1]).
+        # Parity means replicating the saturation, not rescaling.
+        img = jnp.clip(img + 0.5, 0.0, 1.0)
         img = img[..., ::-1]
         img = ((img - jnp.asarray(_IMAGENET_MEAN, img.dtype))
                / jnp.asarray(_IMAGENET_STD, img.dtype))
-        n = img.shape[0]
-        return jax.image.resize(
-            img, (n, self.resize_to, self.resize_to, 3), method="bilinear",
-            antialias=True)
+        # resize_right-parity cubic resize (the reference's default kernel,
+        # /root/reference/utils/resize_right.py:32) as two MXU matmuls
+        from stinet_tpu.ops.resize import resize_image
+        return resize_image(img, (self.resize_to, self.resize_to))
 
     def __call__(self, pred, target):
         fp = self.module.apply(self.variables, self._prep(pred))
