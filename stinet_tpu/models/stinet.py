@@ -262,12 +262,13 @@ class SurfaceTextureInpaintingNet(nn.Module):
     checkpoint_bottleneck: bool = False
     num_blocks_per_uncheckpointed_block: int = 1
     remat_io_blocks: bool = True
-    # Semantic-label conditioning: embed g.labels and concat onto the first
-    # input block's features. The reference constructs this embedding and
-    # widens the first conv (surfacetextureinpaintingnet.py:277-278,322-323)
-    # but its forward concat is commented out (:409-410) — enabling the flag
-    # there would crash on the widened conv. Here the path is ACTIVE and
-    # torch-parity: padding_idx=0 rows embed to zeros.
+    # Semantic-label conditioning: embed g.labels and concat AFTER the input
+    # blocks, widening the first ENCODER block — the reference's intended
+    # wiring (surfacetextureinpaintingnet.py:277-278 builds the embedding,
+    # :322-323 widens encoder block 0's in_size by num_embedding, :409-410
+    # holds the commented concat after the input blocks). The reference
+    # never activates it; here the path is ACTIVE and torch-parity:
+    # padding_idx=0 rows embed to zeros and get no gradient.
     use_label_embedding: bool = False
     num_classes: Optional[int] = None
     num_embedding: Optional[int] = None
@@ -285,8 +286,17 @@ class SurfaceTextureInpaintingNet(nn.Module):
                  if self.remat_io_blocks else GraphResnetBlock)
 
         out = g.x
-        in_nc0 = self.input_nc
+        # --- input blocks (first one translation-invariant if configured)
+        for i in range(self.n_repeated_io_convs):
+            dim_out = ngf if i == self.n_repeated_io_convs - 1 else self.input_nc
+            out = Block(self.input_nc, dim_out, self.filter_type, self.norm,
+                        first=(i == 0), dtype=self.dtype,
+                        name=f"input_block_{i}")(
+                out, g.levels[0].edges, g.levels[0], g.num_graphs, train)
+
         if self.use_label_embedding:
+            # concat after the input blocks; encoder block 0 widens
+            # (reference :322-323, :409-410)
             assert g.labels is not None, \
                 "use_label_embedding requires graph.labels"
             emb = nn.Embed(self.num_classes, self.num_embedding,
@@ -295,25 +305,19 @@ class SurfaceTextureInpaintingNet(nn.Module):
             # torch nn.Embedding(padding_idx=0): label 0 embeds to zeros
             emb = emb * (g.labels != 0).astype(emb.dtype)[:, None]
             out = jnp.concatenate([out, emb.astype(out.dtype)], axis=-1)
-            in_nc0 = self.input_nc + self.num_embedding
-        # --- input blocks (first one translation-invariant if configured)
-        for i in range(self.n_repeated_io_convs):
-            in_nc = in_nc0 if i == 0 else self.input_nc
-            dim_out = ngf if i == self.n_repeated_io_convs - 1 else self.input_nc
-            out = Block(in_nc, dim_out, self.filter_type, self.norm,
-                        first=(i == 0), dtype=self.dtype,
-                        name=f"input_block_{i}")(
-                out, g.levels[0].edges, g.levels[0], g.num_graphs, train)
 
         # --- encoder: pool over traces, then a block on the coarser edges
         for i in range(L):
             mult = 2 ** i
+            in_nc = ngf * mult
+            if i == 0 and self.use_label_embedding:
+                in_nc += self.num_embedding
             lvl = g.levels[i + 1]
             out = _pool(out, g.traces[i], lvl.num_padded_vertices,
                         self.pooling_type,
                         g.children[i] if g.children else None,
                         g.child_counts[i] if g.children else None)
-            out = Block(ngf * mult, ngf * mult * 2, self.filter_type,
+            out = Block(in_nc, ngf * mult * 2, self.filter_type,
                         self.norm, dtype=self.dtype,
                         name=f"encoder_block_{i}")(
                 out, lvl.edges, lvl, g.num_graphs, train)

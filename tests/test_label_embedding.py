@@ -1,8 +1,9 @@
 """Active label-embedding conditioning (use_label_embedding): the reference
-constructs the embedding and widens the first conv
-(surfacetextureinpaintingnet.py:277-278,322-323) but never concatenates it
-(:409-410 commented) — here the path is live, with torch padding_idx=0
-semantics (label 0 embeds to the zero vector, its row gets no gradient)."""
+constructs the embedding and widens the first ENCODER block
+(surfacetextureinpaintingnet.py:277-278,322-323) with the concat sitting
+after the input blocks (:409-410, commented there) — here that wiring is
+live, with torch padding_idx=0 semantics (label 0 embeds to the zero
+vector, its row gets no gradient)."""
 import dataclasses
 
 import numpy as np
@@ -39,6 +40,14 @@ def test_label_embedding_forward_and_padding_row():
     params = jax.jit(model.init)(jax.random.key(0), g)["params"]
     emb_table = params["label_embedding"]["embedding"]
     assert emb_table.shape == (5, 4)
+
+    # reference wiring: the concat happens AFTER the input blocks, so
+    # input_block_0 stays at input_nc and ENCODER block 0 widens by
+    # num_embedding (surfacetextureinpaintingnet.py:322-323)
+    def _first_filter_in(block):
+        return block["first_filter"]["lin1_kernel"].shape[0]
+    assert _first_filter_in(params["input_block_0"]) == 10  # trans-inv: C_in
+    assert _first_filter_in(params["encoder_block_0"]) == 2 * (8 + 4)
 
     out = jax.jit(lambda p, g: model.apply({"params": p}, g))(params, g)
     assert np.isfinite(np.asarray(out)).all()
