@@ -42,9 +42,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _windowed_dma(q_hbm, win, sems, w0_of, pipelined, i, n):
     """Window staging policy shared by all three kernels. Returns the VMEM
-    slot holding the current grid step's window. `i`/`n` are program_id /
-    num_programs, computed OUTSIDE pl.run_scoped (the interpreter has no
-    grid context inside the scoped body)."""
+    slot holding the current grid step's window. `win`/`sems` are
+    pallas_call scratch (persist across sequential TPU grid steps)."""
 
     def win_dma(slot, j):
         w = win.shape[1]
@@ -95,7 +94,7 @@ def _onehot_rows(nbr_local, window, tile, w, d_slots):
     return jnp.dot(onehot, window, preferred_element_type=jnp.float32)
 
 
-def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
+def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, win, sems, *,
             tile, d_slots, h, w, halo, v, pipelined, mode, planes=1):
     """Grid step i: stream window q[w0:w0+W], one one-hot matmul, reduce.
 
@@ -121,47 +120,43 @@ def _kernel(nbr_t_ref, deg_ref, p_ref, q_hbm, out_ref, *,
 
     n = pl.num_programs(0)
 
-    def body(win, sems):
-        slot = _windowed_dma(q_hbm, win, sems, w0_of, pipelined, i, n)
-        w0 = w0_of(i)
-        nbr_local = nbr_t_ref[...] - w0  # [d_pad, tile], window-relative
-        deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
-        p_loc = p_ref[...]
+    # win/sems arrive via pallas_call scratch_shapes: the documented
+    # mechanism for VMEM state (the double-buffered window + its DMA
+    # semaphores) persisting across sequential TPU grid steps
+    slot = _windowed_dma(q_hbm, win, sems, w0_of, pipelined, i, n)
+    w0 = w0_of(i)
+    nbr_local = nbr_t_ref[...] - w0  # [d_pad, tile], window-relative
+    deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
+    p_loc = p_ref[...]
 
-        acc = jnp.zeros((tile, h), jnp.float32)
-        ch = slot_chunk(tile)
-        for c0 in range(0, d_slots, ch):
-            cs = min(ch, d_slots - c0)
-            rows = _onehot_rows(nbr_local[c0:c0 + cs], win[slot], tile, w,
-                                cs)
-            for k in range(cs):
-                d = c0 + k
-                r = rows[k * tile:(k + 1) * tile]
-                if planes == 1:
-                    # p + q added in bf16 to match ops/ell.py's compute
-                    # dtype bit-for-bit (rows are exact bf16 values in
-                    # f32); accumulation stays f32, same slot order.
-                    # compare/relu in f32 (exact on upcast bf16): Mosaic
-                    # has no bf16 vector cmpf lowering
-                    z32 = (p_loc + r.astype(jnp.bfloat16)).astype(
-                        jnp.float32)
-                else:
-                    q_row = (r[:, :h] + r[:, h:2 * h]) + r[:, 2 * h:]
-                    z32 = p_loc.astype(jnp.float32) + q_row
-                m = (jax.nn.relu(z32) if mode == "relu"
-                     else (z32 > 0).astype(jnp.float32))
-                acc = acc + jnp.where(d < deg, m, 0.0)
+    acc = jnp.zeros((tile, h), jnp.float32)
+    ch = slot_chunk(tile)
+    for c0 in range(0, d_slots, ch):
+        cs = min(ch, d_slots - c0)
+        rows = _onehot_rows(nbr_local[c0:c0 + cs], win[slot], tile, w,
+                            cs)
+        for k in range(cs):
+            d = c0 + k
+            r = rows[k * tile:(k + 1) * tile]
+            if planes == 1:
+                # p + q added in bf16 to match ops/ell.py's compute
+                # dtype bit-for-bit (rows are exact bf16 values in
+                # f32); accumulation stays f32, same slot order.
+                # compare/relu in f32 (exact on upcast bf16): Mosaic
+                # has no bf16 vector cmpf lowering
+                z32 = (p_loc + r.astype(jnp.bfloat16)).astype(
+                    jnp.float32)
+            else:
+                q_row = (r[:, :h] + r[:, h:2 * h]) + r[:, 2 * h:]
+                z32 = p_loc.astype(jnp.float32) + q_row
+            m = (jax.nn.relu(z32) if mode == "relu"
+                 else (z32 > 0).astype(jnp.float32))
+            acc = acc + jnp.where(d < deg, m, 0.0)
 
-        out_ref[...] = acc.astype(out_ref.dtype)
-
-    pl.run_scoped(
-        body,
-        win=pltpu.VMEM((2, w, planes * h), jnp.bfloat16),
-        sems=pltpu.SemaphoreType.DMA((2,)),
-    )
+    out_ref[...] = acc.astype(out_ref.dtype)
 
 
-def _kernel_dq(rev_t_ref, deg_ref, q_ref, gp_hbm, out_ref, *,
+def _kernel_dq(rev_t_ref, deg_ref, q_ref, gp_hbm, out_ref, win, sems, *,
                tile, d_slots, h, w, halo, v, pipelined):
     """dq[s] = sum_j 1[j<deg_out] g[r_j] * step(p[r_j] + q[s]) where
     r_j = rev_dst[s, j]. The g and p rows are gathered TOGETHER via one
@@ -173,37 +168,30 @@ def _kernel_dq(rev_t_ref, deg_ref, q_ref, gp_hbm, out_ref, *,
 
     n = pl.num_programs(0)
 
-    def body(win, sems):
-        slot = _windowed_dma(gp_hbm, win, sems, w0_of, pipelined, i, n)
-        w0 = w0_of(i)
-        rev_local = rev_t_ref[...] - w0
-        deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
-        q16 = q_ref[...]
+    slot = _windowed_dma(gp_hbm, win, sems, w0_of, pipelined, i, n)
+    w0 = w0_of(i)
+    rev_local = rev_t_ref[...] - w0
+    deg = deg_ref[...].astype(jnp.int32)  # [tile, 1]
+    q16 = q_ref[...]
 
-        acc = jnp.zeros((tile, h), jnp.float32)
-        ch = slot_chunk(tile)
-        for c0 in range(0, d_slots, ch):
-            cs = min(ch, d_slots - c0)
-            rows = _onehot_rows(rev_local[c0:c0 + cs], win[slot], tile, w,
-                                cs)
-            for k in range(cs):
-                d = c0 + k
-                g_r = rows[k * tile:(k + 1) * tile, :h]
-                # bf16 add matches the XLA VJP's compute dtype; the
-                # compare runs in f32 (exact upcast — Mosaic has no bf16
-                # vector cmpf lowering)
-                p_r = rows[k * tile:(k + 1) * tile, h:].astype(jnp.bfloat16)
-                z32 = (p_r + q16).astype(jnp.float32)
-                m = g_r * (z32 > 0).astype(jnp.float32)
-                acc = acc + jnp.where(d < deg, m, 0.0)
+    acc = jnp.zeros((tile, h), jnp.float32)
+    ch = slot_chunk(tile)
+    for c0 in range(0, d_slots, ch):
+        cs = min(ch, d_slots - c0)
+        rows = _onehot_rows(rev_local[c0:c0 + cs], win[slot], tile, w,
+                            cs)
+        for k in range(cs):
+            d = c0 + k
+            g_r = rows[k * tile:(k + 1) * tile, :h]
+            # bf16 add matches the XLA VJP's compute dtype; the
+            # compare runs in f32 (exact upcast — Mosaic has no bf16
+            # vector cmpf lowering)
+            p_r = rows[k * tile:(k + 1) * tile, h:].astype(jnp.bfloat16)
+            z32 = (p_r + q16).astype(jnp.float32)
+            m = g_r * (z32 > 0).astype(jnp.float32)
+            acc = acc + jnp.where(d < deg, m, 0.0)
 
-        out_ref[...] = acc.astype(out_ref.dtype)
-
-    pl.run_scoped(
-        body,
-        win=pltpu.VMEM((2, w, 2 * h), jnp.bfloat16),
-        sems=pltpu.SemaphoreType.DMA((2,)),
-    )
+    out_ref[...] = acc.astype(out_ref.dtype)
 
 
 def _window_geometry(v, tile, halo):
@@ -235,21 +223,27 @@ def _call_windowed(kernel_fn, local, windowed, idx, deg, halo, tile,
 
     return pl.pallas_call(
         kernel,
-        grid_spec=pl.GridSpec(
-            grid=(v // tile,),
-            in_specs=[
-                pl.BlockSpec((d_pad, tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),   # idx slice
-                pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),   # deg tile
-                pl.BlockSpec((tile, h_loc), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),   # local tile
-                pl.BlockSpec(memory_space=pl.ANY),       # window src in HBM
-            ],
-            out_specs=pl.BlockSpec((tile, h_out), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        ),
+        grid=(v // tile,),
+        in_specs=[
+            pl.BlockSpec((d_pad, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),   # idx slice
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # deg tile
+            pl.BlockSpec((tile, h_loc), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),   # local tile
+            pl.BlockSpec(memory_space=pl.ANY),       # window src in HBM
+        ],
+        out_specs=pl.BlockSpec((tile, h_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((v, h_out), out_dtype),
+        # double-buffered window + DMA semaphores as scratch: scratch_shapes
+        # is the documented mechanism for VMEM/semaphore state persisting
+        # across sequential TPU grid steps (run_scoped buffers keeping their
+        # address across steps was an implementation accident)
+        scratch_shapes=[
+            pltpu.VMEM((2, w, windowed.shape[1]), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(idx_t, deg2, local, windowed.astype(jnp.bfloat16))

@@ -177,18 +177,26 @@ def load_sensor_scene(path, stride=10, height=480, width=640):
     import glob
     import re
 
-    def numkey(p):
-        m = re.findall(r"\d+", os.path.basename(p))
-        return int(m[-1]) if m else 0
+    def by_frame_id(pattern):
+        out = {}
+        for p in glob.glob(os.path.join(path, pattern)):
+            m = re.findall(r"\d+", os.path.basename(p))
+            if m:
+                out[int(m[-1])] = p
+        return out
 
-    color_files = sorted(glob.glob(os.path.join(path, "color", "*.jpg")),
-                         key=numkey)[::stride]
-    depth_files = sorted(glob.glob(os.path.join(path, "depth", "*.png")),
-                         key=numkey)[::stride]
-    pose_files = sorted(glob.glob(os.path.join(path, "pose", "*.txt")),
-                        key=numkey)[::stride]
-    assert len(color_files) == len(depth_files) == len(pose_files), (
-        len(color_files), len(depth_files), len(pose_files))
+    # key the three streams by extracted frame id and pair over the
+    # intersection: positional zipping of independent globs silently
+    # mis-pairs every frame after a single missing file in one directory
+    colors_by_id = by_frame_id("color/*.jpg")
+    depths_by_id = by_frame_id("depth/*.png")
+    poses_by_id = by_frame_id("pose/*.txt")
+    ids = sorted(set(colors_by_id) & set(depths_by_id)
+                 & set(poses_by_id))[::stride]
+    assert ids, f"no complete color/depth/pose frame triples under {path}"
+    color_files = [colors_by_id[i] for i in ids]
+    depth_files = [depths_by_id[i] for i in ids]
+    pose_files = [poses_by_id[i] for i in ids]
 
     ic = np.loadtxt(os.path.join(path, "intrinsic", "intrinsic_color.txt"))
     first = Image.open(color_files[0])

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stinet_tpu.graph.build import _pad_edge_set
 from stinet_tpu.ops.ell import ell_edge_conv_mean, ell_neighbor_mean
@@ -182,3 +183,32 @@ def test_ell_pool_max_tie_grad_routes_to_single_child(rng):
     want = np.asarray(segment_max(x, trace, v_coarse_pad))
     got = np.asarray(ell_pool_max(x, trace, children, counts))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["fori", "batched"])
+def test_slot_modes_match_unroll(rng, mode, monkeypatch):
+    """STINET_ELL_MODE realizes the same op with O(1)-in-D program size
+    (compile-time escape hatches, VERDICT r2 item 2): fwd and bwd must match
+    the unrolled reference path."""
+    es = make_edge_set(rng)
+    v_pad = es.degree.shape[0]
+    h = 16
+    p = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(v_pad, h)).astype(np.float32))
+
+    def run():
+        def loss(p, q):
+            out = ell_edge_conv_mean(p, q, es.nbr, es.rev_dst, es.degree,
+                                     es.out_degree)
+            return jnp.sum(out * w), out
+        (l, out), (gp, gq) = jax.value_and_grad(
+            loss, argnums=(0, 1), has_aux=True)(p, q)
+        return np.asarray(out), np.asarray(gp), np.asarray(gq)
+
+    monkeypatch.delenv("STINET_ELL_MODE", raising=False)
+    base = run()
+    monkeypatch.setenv("STINET_ELL_MODE", mode)
+    got = run()
+    for b, g in zip(base, got):
+        np.testing.assert_allclose(g, b, rtol=1e-6, atol=1e-6)

@@ -110,3 +110,38 @@ def test_rigid_optimization_improves_perturbed_poses():
     assert hist[-1] < hist[0] * 0.9, (hist[0], hist[-1])
     err1 = np.abs(vcol - true_cols).mean()
     assert err1 < err0, (err0, err1)
+
+
+def test_load_sensor_scene_pairs_by_frame_id(tmp_path):
+    """A missing depth file must drop ONLY that frame, not shift every
+    subsequent color/depth/pose pairing (frames are paired by extracted id,
+    not by position in three independent sorted globs)."""
+    from PIL import Image
+    import numpy as np
+    from stinet_tpu.preprocessing.texture_optimization import (
+        load_sensor_scene)
+
+    for d in ("color", "depth", "pose", "intrinsic"):
+        (tmp_path / d).mkdir()
+    np.savetxt(tmp_path / "intrinsic" / "intrinsic_color.txt", np.eye(4))
+    for i in range(4):
+        # color frame i carries intensity i so pairing is observable
+        Image.fromarray(np.full((8, 8, 3), i * 10, np.uint8)).save(
+            tmp_path / "color" / f"{i}.jpg")
+        if i != 1:  # depth frame 1 is missing
+            Image.fromarray(np.full((8, 8), 1000 * (i + 1), np.uint16)).save(
+                tmp_path / "depth" / f"{i}.png")
+        pose = np.eye(4)
+        pose[0, 3] = i  # translation x = frame id
+        np.savetxt(tmp_path / "pose" / f"{i}.txt", pose)
+
+    colors, depths, poses, intr, w, h = load_sensor_scene(
+        str(tmp_path), stride=1, height=8, width=8)
+    assert colors.shape[0] == 3  # frames 0, 2, 3
+    # pose translation must still match the color intensity of its frame
+    for k, frame_id in enumerate((0, 2, 3)):
+        w2c = poses[k]
+        c2w = np.linalg.inv(w2c)
+        assert abs(c2w[0, 3] - frame_id) < 1e-5
+        assert abs(colors[k].mean() * 255 - frame_id * 10) < 3
+        assert abs(depths[k].mean() - (frame_id + 1)) < 1e-5
