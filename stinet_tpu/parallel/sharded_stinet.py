@@ -8,7 +8,12 @@ Runs the ENTIRE flagship forward inside one `shard_map` region over the
     shard's [vp, C] slice (pure data parallelism over the vertex dim, MXU);
   * EdgeConv aggregation — ring halo exchange (`ppermute` with the direct
     (i -> i+s+1) permutation per step, one collective per ring distance)
-    followed by the unrolled local ELL aggregate;
+    followed by the SAME `edge_conv_aggregate` dispatch as the single-chip
+    model (ops/message_passing.py): the halo exchange is a standalone
+    differentiable op (gather transposes to a boundary-only scatter-add,
+    ppermute to its inverse permutation) composed with the gather-only ELL
+    custom VJP, so bf16 compute, the STINET_ELL_MODE compile-size knobs and
+    any future kernel change apply to the multi-chip path automatically;
   * pooling / unpooling — exactly local by construction (ownership is
     propagated down the hierarchy at build time), using the gather-only
     children-table ops from stinet_tpu/ops/ell.py;
@@ -31,13 +36,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stinet_tpu.graph.partition import PartitionedGraph, PartEdges
 from stinet_tpu.ops.ell import ell_pool_mean, ell_pool_max, ell_unpool
+from stinet_tpu.ops.message_passing import edge_conv_aggregate
 
 
 def _halo_exchange(q_loc, send_loc, n_parts, axis):
     """Ship the planned boundary rows: at ring step s, device i sends
     q_loc[send_loc[s]] to device (i+s+1) mod P in ONE ppermute. Returns
     q_loc extended with the received halo blocks (index space matches
-    PartEdges.nbr_halo)."""
+    PartEdges.nbr_halo).
+
+    Differentiable by construction: the boundary gather transposes to a
+    scatter-add touching only the (unique-per-step, np.unique at plan
+    build) send rows, and each ppermute transposes to its inverse
+    permutation — exactly the manual backward the old fused halo-conv VJP
+    implemented, so autodiff through this + the gather-only ELL custom VJP
+    reproduces it with no vertex-sized scatters."""
     if n_parts <= 1:
         return q_loc
     halos = []
@@ -48,80 +61,26 @@ def _halo_exchange(q_loc, send_loc, n_parts, axis):
     return jnp.concatenate([q_loc] + halos, axis=0)
 
 
-def _row(x, idx):
-    return x.at[idx].get(mode="promise_in_bounds")
-
-
-def _aggregate_mean(p_loc, q_ext, nbr, deg):
-    deg_i = deg.astype(jnp.int32)
-    acc = jnp.zeros_like(p_loc)
-    for d in range(nbr.shape[1]):
-        m = jax.nn.relu(p_loc + _row(q_ext, nbr[:, d]))
-        acc = acc + jnp.where((d < deg_i)[:, None], m, 0.0)
-    inv = 1.0 / jnp.maximum(deg.astype(p_loc.dtype), 1.0)
-    return acc * inv[:, None]
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _halo_conv(n_parts, axis, p, q, nbr, deg, send, rev, rev_deg):
-    """mean_{j in N(i)} relu(P[i] + Q[j]) with remote senders via halo, and a
-    gather-only backward: dq on the extended (local + halo) sender space is
-    re-derived from the reverse tables, then halo-slot gradients ride the
-    inverse ppermute back to their owners (the multi-chip analog of the
-    single-chip ELL custom VJP, ops/ell.py)."""
-    q_ext = _halo_exchange(q, send, n_parts, axis)
-    return _aggregate_mean(p, q_ext, nbr, deg)
-
-
-def _halo_conv_fwd(n_parts, axis, p, q, nbr, deg, send, rev, rev_deg):
-    q_ext = _halo_exchange(q, send, n_parts, axis)
-    out = _aggregate_mean(p, q_ext, nbr, deg)
-    return out, (p, q_ext, nbr, deg, send, rev, rev_deg)
-
-
-def _halo_conv_bwd(n_parts, axis, res, g):
-    p, q_ext, nbr, deg, send, rev, rev_deg = res
-    deg_i = deg.astype(jnp.int32)
-    inv = 1.0 / jnp.maximum(deg.astype(p.dtype), 1.0)
-    gm = g * inv[:, None]
-
-    dp = jnp.zeros_like(p)
-    for d in range(nbr.shape[1]):
-        grad_mask = (p + _row(q_ext, nbr[:, d]) > 0).astype(p.dtype)
-        dp = dp + jnp.where((d < deg_i)[:, None], gm * grad_mask, 0.0)
-
-    rd = rev_deg.astype(jnp.int32)
-    dq_ext = jnp.zeros((q_ext.shape[0], p.shape[1]), p.dtype)
-    for j in range(rev.shape[1]):
-        r = rev[:, j]
-        contrib = _row(gm, r) * ((_row(p, r) + q_ext) > 0).astype(p.dtype)
-        dq_ext = dq_ext + jnp.where((j < rd)[:, None], contrib, 0.0)
-
-    vp = p.shape[0]
-    hw = send.shape[1]
-    dq = dq_ext[:vp]
-    for s in range(send.shape[0] if n_parts > 1 else 0):
-        buf = dq_ext[vp + s * hw: vp + (s + 1) * hw]
-        perm = [(i, (i - s - 1) % n_parts) for i in range(n_parts)]
-        buf = jax.lax.ppermute(buf, axis, perm)
-        # send rows are unique per step (np.unique at plan build): the add
-        # touches only the halo boundary, not the vertex-sized buffers
-        dq = dq.at[send[s]].add(buf)
-    return dp, dq, None, None, None, None, None
-
-
-_halo_conv.defvjp(_halo_conv_fwd, _halo_conv_bwd)
-
-
 def _edge_conv_halo(p_loc, q_loc, edges: PartEdges, n_parts, axis):
-    """mean_{j in N(i)} relu(P[i] + Q[j]) with remote senders via halo."""
+    """mean_{j in N(i)} relu(P[i] + Q[j]) with remote senders via halo,
+    routed through the single-chip kernel dispatch (edge_conv_aggregate)
+    on the extended (local + halo) sender space. The ELL custom VJP
+    already supports ragged p/q (dq is shaped from q), so the reverse
+    tables over the extended space slot straight in.
+
+    `halo` stays None: the windowed one-hot kernel's bandedness premise
+    |nbr[v,d] - v| <= halo does not hold on the extended layout (halo rows
+    are appended after the local range), so windowed dispatch is correctly
+    bypassed here."""
+    assert edges.rev_idx is not None, (
+        "partitioned builds always carry reverse tables (graph/partition.py"
+        "::_part_edges); legacy PartEdges without them are not supported")
     send_loc = edges.send_idx[0]  # shard_map slices [n_parts, S, H] -> [1, S, H]
-    if edges.rev_idx is not None:
-        return _halo_conv(n_parts, axis, p_loc, q_loc, edges.nbr_halo,
-                          edges.degree, send_loc, edges.rev_idx,
-                          edges.rev_deg)
     q_ext = _halo_exchange(q_loc, send_loc, n_parts, axis)
-    return _aggregate_mean(p_loc, q_ext, edges.nbr_halo, edges.degree)
+    return edge_conv_aggregate(
+        p_loc, q_ext, None, None, p_loc.shape[0], aggr="mean",
+        degree=edges.degree.astype(p_loc.dtype), nbr=edges.nbr_halo,
+        rev_dst=edges.rev_idx, out_degree=edges.rev_deg)
 
 
 def _instance_norm_psum(x, vmask, axis, eps=1e-5):
@@ -136,55 +95,77 @@ def _instance_norm_psum(x, vmask, axis, eps=1e-5):
     return centered * (var + eps) ** -0.5
 
 
-def _resnet_block(x, bp, edges: PartEdges, vmask, trans_inv, n_parts, axis):
-    """GraphResnetBlock (models/stinet.py:207-229) on partitioned data."""
+def _dense(x, kp, dt):
+    """flax Dense(dtype=dt) semantics: inputs, kernel and bias promoted to
+    the compute dtype before the matmul (models/stinet.py Dense calls)."""
+    out = x.astype(dt) @ kp["kernel"].astype(dt)
+    if "bias" in kp:
+        out = out + kp["bias"].astype(dt)
+    return out
+
+
+def _resnet_block(x, bp, edges: PartEdges, vmask, trans_inv, dt, n_parts,
+                  axis):
+    """GraphResnetBlock (models/stinet.py:207-229) on partitioned data.
+    `dt` is the compute dtype (model.dtype or the stream dtype), applied
+    exactly where the flax modules apply it: filter matmuls + lin2 +
+    shortcut compute in `dt`; norm statistics in f32, result cast back;
+    the residual adds the UNCAST input when no shortcut exists (same
+    promotion behavior as the single-device block)."""
+    dt = dt or x.dtype
     ff = bp["first_filter"]
-    w1, b1 = ff["lin1_kernel"], ff["lin1_bias"]
+    w1 = ff["lin1_kernel"].astype(dt)
+    b1 = ff["lin1_bias"].astype(dt)
+    x_dt = x.astype(dt)
     if trans_inv:
-        xw = x @ w1
+        xw = x_dt @ w1
         p, q = b1 - xw, xw
     else:
         c = x.shape[1]
         wi, wd = w1[:c], w1[c:]
-        p = x @ (wi - wd) + b1
-        q = x @ wd
+        p = x_dt @ (wi - wd) + b1
+        q = x_dt @ wd
     agg = _edge_conv_halo(p, q, edges, n_parts, axis)
-    out = agg @ ff["lin2"]["kernel"] + ff["lin2"]["bias"]
-    out = _instance_norm_psum(out, vmask, axis)
+    out = _dense(agg, ff["lin2"], dt)
+    in_dtype = out.dtype
+    out = _instance_norm_psum(out.astype(jnp.float32), vmask,
+                              axis).astype(in_dtype)
     out = jax.nn.elu(out)
     if "shortcut" in bp:
-        x = x @ bp["shortcut"]["kernel"] + bp["shortcut"]["bias"]
+        x = _dense(x, bp["shortcut"], dt)
     return x + out
 
 
 def _forward_local(params, g: PartitionedGraph, *, n_parts, axis,
                    filter_type, pooling_type, n_blocks, n_levels,
-                   n_repeated_io_convs, dilations, remat=True):
-    """The STINet forward (models/stinet.py:266-347) on one shard."""
+                   n_repeated_io_convs, dilations, dtype=None, remat=True):
+    """The STINet forward (models/stinet.py:266-347) on one shard.
+    `dtype` is the model's compute dtype (None = stream dtype, f32
+    flagship; jnp.bfloat16 for the bf16 production config)."""
     assert filter_type in ("edgeconv", "edgeconvtransinv"), filter_type
     block = _resnet_block
     if remat:
-        block = jax.checkpoint(_resnet_block, static_argnums=(4, 5, 6))
+        block = jax.checkpoint(_resnet_block, static_argnums=(4, 5, 6, 7))
 
     out = g.x
     for i in range(n_repeated_io_convs):
         trans_inv = (i == 0 and filter_type == "edgeconvtransinv")
         out = block(out, params[f"input_block_{i}"], g.levels[0].edges,
-                    g.levels[0].vmask, trans_inv, n_parts, axis)
+                    g.levels[0].vmask, trans_inv, dtype, n_parts, axis)
 
     pool = ell_pool_mean if pooling_type == "mean" else ell_pool_max
     for i in range(n_levels):
         out = pool(out, g.traces[i], g.children[i], g.child_counts[i])
         out = block(out, params[f"encoder_block_{i}"],
                     g.levels[i + 1].edges, g.levels[i + 1].vmask,
-                    False, n_parts, axis)
+                    False, dtype, n_parts, axis)
 
     coarse = g.levels[n_levels]
     for i in range(n_blocks):
         d = int(dilations[i])
         edges = coarse.dilated[d] if d > 1 else coarse.edges
         out = block(out, params[f"bottleneck_block_{i}"], edges,
-                    coarse.vmask, False, n_parts, axis)
+                    coarse.vmask, False, dtype, n_parts, axis)
 
     for i in range(n_levels):
         fine = n_levels - i - 1
@@ -192,18 +173,18 @@ def _forward_local(params, g: PartitionedGraph, *, n_parts, axis,
                          g.child_counts[fine])
         out = block(out, params[f"decoder_block_{i}"],
                     g.levels[fine].edges, g.levels[fine].vmask,
-                    False, n_parts, axis)
+                    False, dtype, n_parts, axis)
 
     for i in range(n_repeated_io_convs):
         out = block(out, params[f"output_block_{i}"], g.levels[0].edges,
-                    g.levels[0].vmask, False, n_parts, axis)
+                    g.levels[0].vmask, False, dtype, n_parts, axis)
 
-    out = out @ params["final_linear1"]["kernel"] \
-        + params["final_linear1"]["bias"]
-    out = _instance_norm_psum(out, g.levels[0].vmask, axis)
+    hd = dtype or out.dtype
+    out = _dense(out, params["final_linear1"], hd)
+    out = _instance_norm_psum(out.astype(jnp.float32), g.levels[0].vmask,
+                              axis).astype(hd)
     out = jax.nn.elu(out)
-    out = out @ params["final_linear2"]["kernel"] \
-        + params["final_linear2"]["bias"]
+    out = _dense(out, params["final_linear2"], hd)
     return jnp.tanh(out)
 
 
@@ -223,7 +204,8 @@ def make_sharded_stinet(mesh: Mesh, model, axis: str = "data"):
         _forward_local, n_parts=n_parts, axis=axis,
         filter_type=model.filter_type, pooling_type=model.pooling_type,
         n_blocks=model.n_blocks, n_levels=model.n_levels,
-        n_repeated_io_convs=model.n_repeated_io_convs, dilations=dilations)
+        n_repeated_io_convs=model.n_repeated_io_convs, dilations=dilations,
+        dtype=model.dtype)
 
     def apply_fn(params, pg):
         return shard_map(
