@@ -5,10 +5,22 @@ fid_score_cumulative.py:43-188) and the standalone folder-vs-folder scorer
 the Fréchet distance (sqrtm with eps stabilization) are computed on demand.
 The feature extractor is pluggable (InceptionV3 pool3 by default,
 stinet_tpu/models/inception.py)."""
+import warnings
 from typing import Callable, Dict, Optional
 
 import numpy as np
 from scipy import linalg
+
+
+def _sqrtm(a):
+    """linalg.sqrtm with scipy's LinAlgWarning suppressed: singular products
+    (rank-deficient covariances from small sample counts) are EXPECTED here
+    and handled by the eps-on-the-diagonal retry below — the warning would
+    otherwise leak to every caller streaming few activations."""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", linalg.LinAlgWarning)
+        out = linalg.sqrtm(a)
+    return out[0] if isinstance(out, tuple) else out  # scipy<1.17 (sqrtm, errest)
 
 
 def calculate_activation_statistics(activations: np.ndarray):
@@ -25,13 +37,10 @@ def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
     diff = mu1 - mu2
 
-    covmean = linalg.sqrtm(sigma1.dot(sigma2))
-    if isinstance(covmean, tuple):  # scipy < 1.17 (sqrtm, errest)
-        covmean = covmean[0]
+    covmean = _sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm(
-            (sigma1 + offset).dot(sigma2 + offset))
+        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
             raise ValueError(
