@@ -120,3 +120,96 @@ def test_fid_end_to_end_inception_golden():
         d_aa = f.fid_between("a", "a_again")
     np.testing.assert_allclose(d_ab, 7.470410898571197e-06, rtol=0.05)
     assert abs(d_aa) < 1e-10, d_aa
+
+
+# ---------------------------------------------------------------------------
+# fid_cli dataset-format parity (reference fid_score.py:71-113, 327-377)
+# ---------------------------------------------------------------------------
+
+def _write_gz_uv(path, arr):
+    import gzip
+    with gzip.open(path, "wb") as f:
+        f.write(np.ascontiguousarray(arr, dtype=np.float32).tobytes())
+
+
+def test_load_uv_file_reshape_and_flip(tmp_path):
+    """gz raw-float32 -> (H, W, 2) -> vertical flip (UVPathDataset:81-93)."""
+    from stinet_tpu.metrics.fid_cli import load_uv_file
+    h, w = 4, 3
+    raw = np.arange(h * w * 2, dtype=np.float32).reshape(h, w, 2)
+    _write_gz_uv(tmp_path / "a.gz", raw)
+    got = load_uv_file(str(tmp_path / "a.gz"), (h, w))
+    np.testing.assert_array_equal(got, raw[::-1])
+
+    with pytest.raises(ValueError, match="expected"):
+        load_uv_file(str(tmp_path / "a.gz"), (h + 1, w))
+
+
+def test_load_uv_dataset_stack_and_scale(tmp_path):
+    from stinet_tpu.metrics.fid_cli import load_uv_dataset
+    h, w = 8, 8
+    rng = np.random.default_rng(0)
+    frames = [rng.normal(size=(h, w, 2)).astype(np.float32)
+              for _ in range(3)]
+    for i, fr in enumerate(frames):
+        _write_gz_uv(tmp_path / f"{i}.gz", fr)
+    ds = load_uv_dataset(str(tmp_path), (h, w))
+    assert ds.shape == (3, h, w, 2)
+    np.testing.assert_array_equal(ds[1], frames[1][::-1])
+
+    # nearest-neighbor scale: factor-2 downscale picks pixel centers
+    ds2 = load_uv_dataset(str(tmp_path), (h, w), scale_size=4)
+    assert ds2.shape == (3, 4, 4, 2)
+    flipped = frames[0][::-1]
+    np.testing.assert_array_equal(ds2[0], flipped[1::2, 1::2])
+
+    empty = load_uv_dataset(str(tmp_path / "nope"), (h, w))
+    assert empty.shape == (0, h, w, 2)
+
+
+def test_stats_of_path_npz_short_circuit(tmp_path):
+    """A .npz path returns its stored mu/sigma without touching any
+    extractor (compute_statistics_of_path:327-333)."""
+    from stinet_tpu.metrics.fid_cli import stats_of_path
+    mu = np.arange(4.0)
+    sigma = np.eye(4) * 2.0
+    np.savez(tmp_path / "stats.npz", mu=mu, sigma=sigma)
+    fid = FIDScoreCumulative(feature_fn=None)  # would crash if used
+    m, s = stats_of_path(str(tmp_path / "stats.npz"), fid, "k", 8)
+    np.testing.assert_array_equal(m, mu)
+    np.testing.assert_array_equal(s, sigma)
+
+
+def test_fid_given_path_and_model_end_to_end(tmp_path):
+    """gz UV folder -> model_fn -> features vs ground-truth image folder
+    (calculate_fid_given_path_and_model:364-377), with a toy renderer and
+    a cheap feature extractor; identical distributions give FID ~ 0."""
+    from PIL import Image
+    from stinet_tpu.metrics.fid_cli import fid_given_path_and_model
+
+    h, w = 8, 8
+    rng = np.random.default_rng(3)
+    gt_dir = tmp_path / "gt"
+    uv_dir = tmp_path / "uv"
+    gt_dir.mkdir()
+    uv_dir.mkdir()
+    for i in range(6):
+        uv = rng.uniform(0, 1, size=(h, w, 2)).astype(np.float32)
+        _write_gz_uv(uv_dir / f"{i}.gz", uv)
+        # the toy renderer below maps uv -> rgb; ground truth = rendered uv
+        rgb = np.concatenate([uv[::-1], uv[::-1, :, :1]], axis=-1)
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            gt_dir / f"{i}.png")
+
+    def model_fn(uv_batch):  # [B, H, W, 2] -> [B, H, W, 3]
+        return np.concatenate([uv_batch, uv_batch[..., :1]], axis=-1)
+
+    def feature_fn(imgs):   # cheap 6-dim features: channel means + stds
+        x = np.asarray(imgs, np.float64).reshape(len(imgs), -1, 3)
+        return np.concatenate([x.mean(1), x.std(1)], axis=1)
+
+    fid = FIDScoreCumulative(feature_fn=feature_fn)
+    val = fid_given_path_and_model(str(gt_dir), str(uv_dir), model_fn,
+                                   (h, w), fid, batch_size=4)
+    # PNG quantization to uint8 is the only difference: near zero
+    assert 0 <= val < 1e-3, val
