@@ -267,3 +267,87 @@ def test_segmentation_end_to_end(tmp_path, rng):
     log = trainer._train_epoch(1)
     assert np.isfinite(log["loss"])
     assert 0.0 <= log["val_mean_iou"] <= 1.0 or np.isnan(log["val_mean_iou"])
+
+
+def write_synthetic_scene_npz(root, scene, v0=2048, seed=0,
+                              dil_dists=(2,)):
+    """Loader-format npz from a GRID synthetic scene (utils/synthetic.py):
+    unlike write_fake_scene's random edges, these band under RCM, so a
+    windowed build (windowed_graphs=true) actually produces halo'd ELL
+    tables instead of falling back."""
+    from stinet_tpu.utils.synthetic import synthetic_scene
+    s = synthetic_scene(num_vertices=v0, levels=3, seed=seed,
+                        dilation_dists=dil_dists)
+    rng = np.random.default_rng(seed + 1)
+    os.makedirs(os.path.join(root, "graphs"), exist_ok=True)
+    arrays = {"num_levels": 3, "dilation_dists": np.array(dil_dists)}
+    for l, v in enumerate(s.num_vertices):
+        verts = np.zeros((v, 10), np.float32)
+        if l == 0:
+            verts[:, 0:3] = s.x[:, 0:3]
+            verts[:, 3:6] = (s.color + 1.0) / 2.0   # loader maps to [-1,1]
+            verts[:, 6:9] = s.x[:, 6:9]
+        else:
+            verts[:, 0:3] = rng.normal(size=(v, 3))
+            verts[:, 3:6] = rng.uniform(0, 1, size=(v, 3))
+            verts[:, 6:9] = rng.normal(size=(v, 3))
+        verts[:, 9] = np.arange(v)
+        arrays[f"vertices_{l}"] = verts
+        arrays[f"edges_{l}"] = s.level_edges[l]
+        for d, e in s.dilated.get(l, {}).items():
+            arrays[f"dil_{d}_edges_{l}"] = e
+    arrays["traces_0"] = np.arange(s.num_vertices[0])
+    arrays["traces_1"] = s.traces[0]
+    arrays["traces_2"] = s.traces[1]
+    np.savez(os.path.join(root, "graphs", scene + ".npz"), **arrays)
+    mdir = os.path.join(root, "masks", "rad_16", scene)
+    os.makedirs(mdir, exist_ok=True)
+    np.savez(os.path.join(mdir, "0.npz"),
+             vertex_mask=s.mask[:, 0].astype(np.float32))
+
+
+@pytest.mark.slow
+def test_inpainting3d_bf16_windowed_end_to_end(tmp_path, monkeypatch):
+    """The documented bf16 windowed production path (VERDICT r2 item 8):
+    dtype=bfloat16 + windowed_graphs through the real config/trainer stack,
+    with the windowed one-hot Pallas kernel running in interpret mode
+    (STINET_WINDOWED_INTERPRET=1) — and PROOF the kernel was dispatched,
+    not silently skipped via the ELL fallback."""
+    monkeypatch.setenv("STINET_WINDOWED_INTERPRET", "1")
+
+    import stinet_tpu.ops.pallas.onehot_gather as og
+    fired = {"n": 0}
+    real = og.windowed_ell_edge_conv_sum
+
+    def counting(*a, **kw):
+        fired["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(og, "windowed_ell_edge_conv_sum", counting)
+
+    train_root = str(tmp_path / "train")
+    val_root = str(tmp_path / "val")
+    from stinet_tpu.data.scannet import (
+        read_split, SCANNET_TRAIN_FILE, SCANNET_VAL_FILE)
+    for i, s in enumerate(read_split(SCANNET_TRAIN_FILE)[:1]):
+        write_synthetic_scene_npz(train_root, s, seed=i)
+    for s in read_split(SCANNET_VAL_FILE)[:1]:
+        write_synthetic_scene_npz(val_root, s, seed=7)
+
+    cfg_dict = make_3d_config(tmp_path, train_root, val_root)
+    arch = cfg_dict["archs"]["SurfaceTextureInpaintingNet"]["args"]
+    # ngf=64 so the level-0 hidden width hits the windowed kernel's H=128
+    # dispatch shape (ops/message_passing.py::_windowed_kernel_applies)
+    arch.update({"ngf": 64, "n_blocks": 2, "dilations": [1, 2],
+                 "dtype": "bfloat16"})
+    cfg_dict["data_loader"]["args"]["windowed_graphs"] = True
+    cfg_dict["data_loader"]["args"]["train_transform"] = [
+        {"type": "CoordsNormalization", "args": {"max_sizes": [1.5, 1.5, 1.5]}}]
+
+    cfg = ConfigParser(cfg_dict, dry_run=False)
+    trainer = TRAINERS.get("Inpainting3DTrainer")(cfg)
+    trainer.train()
+    assert np.isfinite(trainer.train_metrics.avg("loss"))
+    assert fired["n"] > 0, (
+        "windowed kernel never dispatched — build fell back (halo=None) "
+        "or the shape gate changed")
