@@ -68,6 +68,14 @@ def _remaining():
 
 
 def build_scene():
+    """BENCH_SCENE selects the mesh family: 'grid' (default — friendly
+    jittered-grid), 'sphere' / 'terrain' (hostile: native-QEM-decimated
+    irregular surfaces, utils/hostile.py; VERDICT r2 item 3)."""
+    kind = os.environ.get("BENCH_SCENE", "grid")
+    if kind in ("sphere", "terrain"):
+        from stinet_tpu.utils.hostile import hostile_scene
+        return hostile_scene(num_vertices=V, kind=kind, seed=0,
+                             dilation_dists=(2, 4, 8, 16))
     from stinet_tpu.utils.synthetic import synthetic_scene
     return synthetic_scene(num_vertices=V, levels=3, seed=0,
                            dilation_dists=(2, 4, 8, 16))
@@ -339,7 +347,8 @@ def _worker():
         import jax
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     scene = build_scene()
-    detail = {"V": V, "dtype": DTYPE}
+    detail = {"V": V, "dtype": DTYPE,
+              "scene": os.environ.get("BENCH_SCENE", "grid")}
     stages = bench_tpu_stages(scene)
 
     first = next(stages)  # f32 inference — the headline number
