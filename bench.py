@@ -29,9 +29,13 @@ import time
 _WALL_START = time.time()
 WALL_BUDGET = float(os.environ.get("BENCH_WALL_BUDGET_S", 480))
 
-# persistent compilation cache: repeated bench runs skip the large compiles
-# (the driver runs this script fresh each round; /tmp persists on this host)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+# persistent compilation cache: repeated bench runs skip the large compiles.
+# Repo-local (gitignored) rather than /tmp so the warm cache from the
+# round's last validated run survives for the driver's round-end run even
+# across host cleanup of /tmp (VERDICT r2 item 1c).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import numpy as np
