@@ -359,8 +359,22 @@ def _worker():
     tpu_vps = first.pop("_vps")
     detail.update(first)
 
-    # CPU baseline immediately after the headline stage so the FIRST printed
-    # live line already carries a real vs_baseline
+    # The live TPU number prints IMMEDIATELY, ratioed against the last
+    # recorded CPU denominator (tagged as such): the torch-CPU baseline can
+    # take minutes on a loaded host, and a budget kill during it must not
+    # discard a completed live device measurement (round-3 lesson: a
+    # concurrent test suite stretched the baseline past the wall budget and
+    # the whole run fell back to the stale line).
+    cached_cpu_vps = (_LAST_GOOD["value"] / _LAST_GOOD["vs_baseline"]
+                      if _LAST_GOOD.get("vs_baseline") else None)
+    pre = dict(detail, vs_baseline_basis="cached_cpu_denominator")
+    print(_result_line(
+        round(tpu_vps, 1),
+        round(tpu_vps / cached_cpu_vps, 2) if cached_cpu_vps else None,
+        pre), flush=True)
+
+    # CPU baseline immediately after so the next printed line carries a
+    # freshly measured vs_baseline
     cpu_vps, cpu_dt, cpu_runs = bench_torch_cpu(scene, CPU_ITERS)
     detail.update({
         "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
