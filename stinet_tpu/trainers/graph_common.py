@@ -268,3 +268,45 @@ def make_inpainting_steps(model, tx, use_mask_weighted, has_batch_stats=False):
 
 def host_metrics(metrics) -> Dict[str, float]:
     return {k: float(np.asarray(v)) for k, v in metrics.items()}
+
+
+# ---------------------------------------------------------------------------
+# Data parallelism over a device mesh (the reference's `n_gpu` key, which it
+# asserts to 1 — inpainting3d_trainer.py:25 — and whose segmentation-trainer
+# DataParallel path is visibly broken, segmentation_trainer.py:148). Here:
+# replicate params/opt-state, shard each batch graph's vertex/edge dims over
+# the `data` axis, and let GSPMD insert cross-shard collectives + the
+# gradient psum (computation follows data; no explicit in_shardings needed,
+# so every graph-size bucket reuses the same jitted step).
+# ---------------------------------------------------------------------------
+
+def maybe_data_mesh(config_dict, logger=None):
+    """Mesh over min(n_gpu, visible devices) data-parallel devices, or None
+    when the config requests a single device (the reference default)."""
+    n_req = int(config_dict.get("n_gpu", 1) or 1)
+    if n_req <= 1 or len(jax.devices()) <= 1:
+        return None
+    from stinet_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(min(n_req, len(jax.devices())), model_parallel=1)
+    if logger is not None:
+        logger.info("Data parallelism: %d devices (%s)",
+                    mesh.devices.size, jax.devices()[0].platform)
+    return mesh
+
+
+def replicate_to_mesh(mesh, tree):
+    """Replicate a pytree (params / opt-state / TrainState) on every mesh
+    device; identity when mesh is None."""
+    if mesh is None:
+        return tree
+    from jax.sharding import NamedSharding, PartitionSpec
+    return jax.device_put(tree, NamedSharding(mesh, PartitionSpec()))
+
+
+def place_graph_on_mesh(mesh, graph):
+    """Shard a batch graph over the mesh's `data` axis; identity when mesh
+    is None."""
+    if mesh is None:
+        return graph
+    from stinet_tpu.parallel.mesh import graph_sharding
+    return jax.device_put(graph, graph_sharding(graph, mesh))

@@ -17,7 +17,8 @@ from stinet_tpu.metrics import MetricTracker
 from stinet_tpu.models.factory import define_G, count_parameters
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
-    TrainState, build_optimizer, step_lr, make_inpainting_steps, host_metrics)
+    TrainState, build_optimizer, step_lr, make_inpainting_steps, host_metrics,
+    maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh)
 
 
 def check_nan_in_params(params, logger=None):
@@ -80,10 +81,16 @@ class Inpainting3DTrainer(BaseTrainer):
         if config.resume is not None:
             self._resume_checkpoint(config.resume)
 
+        self._mesh = maybe_data_mesh(config.config, logger)
+        self.state = replicate_to_mesh(self._mesh, self.state)
+
         metrics = ["loss", "l1", "mse", "graph_tv", "graph_lap_var", "psnr",
                    "psnr_mask_only", "mem_allocated", "mem_reserved"]
         self.train_metrics = MetricTracker(*metrics, writer=self.writer)
         self.valid_metrics = MetricTracker(*metrics, writer=self.writer)
+
+    def _place_graph(self, graph):
+        return place_graph_on_mesh(self._mesh, graph)
 
     # ------------------------------------------------------------------
     def _example_graph(self):
@@ -105,7 +112,8 @@ class Inpainting3DTrainer(BaseTrainer):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
             for k, v in device_memory_stats().items():
                 self.train_metrics.update(k, v)
-            self.state, metrics = self._train_step(self.state, graph, lr)
+            self.state, metrics = self._train_step(
+                self.state, self._place_graph(graph), lr)
             m = host_metrics(metrics)
             for k, v in m.items():
                 self.train_metrics.update(k, v)
@@ -128,7 +136,7 @@ class Inpainting3DTrainer(BaseTrainer):
         len_epoch = len(loader)
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx, "valid")
-            metrics, _ = self._eval_step(self.state, graph)
+            metrics, _ = self._eval_step(self.state, self._place_graph(graph))
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
         self.writer.set_step(epoch - 1, "epoch_valid", quiet=True)
@@ -144,7 +152,8 @@ class Inpainting3DTrainer(BaseTrainer):
             visualizer = ColorCompletionVisualizer(
                 self.data_loader, "visualizations/")
         for batch_idx, (graph, names) in enumerate(loader):
-            metrics, composite = self._eval_step(self.state, graph)
+            metrics, composite = self._eval_step(
+                self.state, self._place_graph(graph))
             m = host_metrics(metrics)
             for k, v in m.items():
                 self.valid_metrics.update(k, v, write=False)

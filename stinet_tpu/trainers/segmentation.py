@@ -19,7 +19,8 @@ from stinet_tpu.models.losses import cse_loss
 from stinet_tpu.models.singleconvmeshnet import SingleConvMeshNet
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
-    TrainState, build_optimizer, step_lr, host_metrics)
+    TrainState, build_optimizer, step_lr, host_metrics,
+    maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh)
 
 
 @TRAINERS.register("GraphSegmentationTrainer")
@@ -62,6 +63,12 @@ class GraphSegmentationTrainer(BaseTrainer):
 
         if config.resume is not None:
             self._resume_checkpoint(config.resume)
+
+        # Working data parallelism behind the reference's n_gpu key (its
+        # own DataParallel path is unreachable and broken,
+        # segmentation_trainer.py:34-35,148)
+        self._mesh = maybe_data_mesh(config.config, logger)
+        self.state = replicate_to_mesh(self._mesh, self.state)
 
         self.train_metrics = MetricTracker("loss", writer=self.writer)
         self.valid_metrics = MetricTracker("loss", writer=self.writer)
@@ -134,7 +141,7 @@ class GraphSegmentationTrainer(BaseTrainer):
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
             self.state, metrics, conf = self._train_step(
-                self.state, graph, lr)
+                self.state, place_graph_on_mesh(self._mesh, graph), lr)
             iou.add_matrix(conf)
             for k, v in host_metrics(metrics).items():
                 self.train_metrics.update(k, v)
@@ -161,7 +168,8 @@ class GraphSegmentationTrainer(BaseTrainer):
         val_ds = getattr(self.data_loader, "val_dataset", None)
         for batch_idx, (graph, names) in enumerate(
                 self.data_loader.val_loader):
-            metrics, pred, conf = self._eval_step(self.state, graph)
+            metrics, pred, conf = self._eval_step(
+                self.state, place_graph_on_mesh(self._mesh, graph))
             iou.add_matrix(conf)
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
@@ -205,7 +213,8 @@ class GraphSegmentationTrainer(BaseTrainer):
             vis = SemSegVisualizer(self.data_loader, SCANNET_COLOR_MAP,
                                    "visualizations/")
             for graph, names in self.data_loader.val_loader:
-                _, pred, _ = self._eval_step(self.state, graph)
+                _, pred, _ = self._eval_step(
+                    self.state, place_graph_on_mesh(self._mesh, graph))
                 n = int(graph.levels[0].num_vertices)
                 vis.visualize_result(names[0], np.asarray(pred)[:n],
                                      np.asarray(graph.labels)[:n])
