@@ -347,12 +347,18 @@ def _device_responsive(timeout_s):
     # then 369 s to serve its first dispatch — short probe windows
     # misclassify a recovering device as dead; the wall budget caps us anyway.
     """Probe the device in a subprocess: a wedged TPU tunnel hangs any jax
-    call in-process, which would leave the driver with no output at all."""
+    call in-process, which would leave the driver with no output at all.
+    Honors BENCH_PLATFORM — a cpu-platform bench must not spend its budget
+    probing a wedged TPU tunnel it will never use (the axon plugin overrides
+    JAX_PLATFORMS at import time, so set the config knob inside the probe)."""
     import subprocess
+    platform = os.environ.get("BENCH_PLATFORM")
+    cfg = (f"jax.config.update('jax_platforms', {platform!r});"
+           if platform else "")
     try:
         r = subprocess.run(
             [sys.executable, "-c",
-             "import jax, jax.numpy as jnp;"
+             f"import jax; {cfg}import jax.numpy as jnp;"
              "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))"],
             timeout=timeout_s, capture_output=True)
         return r.returncode == 0
