@@ -56,12 +56,11 @@ METRIC = "stinet3d_inference_vertices_per_sec_per_chip"
 # driver timeout at any point still leaves a parseable line, and re-printed
 # (tagged stale) if no live measurement lands inside the wall budget.
 _LAST_GOOD = {
-    "value": 6432023.6, "vs_baseline": 2038.92, "tpu_ms_per_scene": 10.19,
-    "measured": "2026-08-17 round 3 (live tunnel, full worker run: "
-                "train step 34.37 ms, bf16 windowed 9.76 ms, torch-CPU "
-                "20775 ms/scene median-of-3 pinned 8 threads; grid-surface "
-                "synthetic scene, halo ladder build; round-2 best was "
-                "8.99 ms/scene under a lighter tunnel)"}
+    "value": 7833205.5, "vs_baseline": 2145.22, "tpu_ms_per_scene": 8.37,
+    "measured": "2026-08-17 round 3 (live tunnel: f32 8.37 ms/scene, "
+                "torch-CPU 17948 ms/scene pinned 8 threads; earlier same-day "
+                "full run: bf16 windowed 9.76 ms, train step 34.37 ms; "
+                "grid-surface synthetic scene, halo ladder build)"}
 
 
 def _deadline():
