@@ -1,0 +1,126 @@
+"""Train-step cost breakdown on the flagship 3D config (one chip).
+
+Times, each as its own jitted program on the same scene:
+  fwd            — inference forward (the 8.4 ms headline path)
+  grad           — value_and_grad of the masked L1 loss (fwd + bwd)
+  grad+opt       — plus adam/amsgrad update (bench.py's train-step stage)
+  grad+opt+metr  — plus the full per-step metric dict the production
+                   trainer computes (graph TV / laplace variance / PSNRs,
+                   trainers/graph_common.py:inpainting_metrics)
+  donated        — grad+opt with params/opt_state donated (the trainer's
+                   actual aliasing, graph_common.py:266)
+
+Prints one JSON line per stage. Env: BENCH_V, BENCH_ITERS, BENCH_DTYPE,
+BENCH_SCENE (grid|sphere|terrain), STINET_WINDOWED* knobs as usual.
+"""
+import dataclasses
+import json
+import os
+import time
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+V = int(os.environ.get("BENCH_V", 65536))
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+WINDOWED = os.environ.get("BENCH_WINDOWED", "0") == "1"
+
+
+def main():
+    import jax
+    if os.environ.get("BENCH_PLATFORM"):  # axon overrides JAX_PLATFORMS
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    import jax.numpy as jnp
+    import optax
+
+    from bench import build_scene
+    from stinet_tpu.graph.build import build_hierarchical_graph
+    from stinet_tpu.models.factory import define_G
+    from stinet_tpu.trainers.graph_common import (
+        build_optimizer, inpainting_loss, inpainting_metrics)
+
+    scene = build_scene()
+    graph = jax.device_put(
+        build_hierarchical_graph([scene], windowed=WINDOWED))
+    model = define_G(input_nc=10, output_nc=3, ngf=64, n_blocks=9,
+                     dilations=[1, 1, 1, 2, 4, 8, 16, 1, 1],
+                     norm="instance", pooling_type="max", n_levels=2,
+                     n_repeated_io_convs=1, filter_type="edgeconvtransinv",
+                     dtype=DTYPE)
+    model = dataclasses.replace(model, remat_io_blocks=False)
+    params = jax.device_put(
+        jax.jit(model.init)(jax.random.key(0), graph)["params"])
+    tx, lr = build_optimizer({"type": "Adam",
+                              "args": {"lr": 7e-5, "amsgrad": True}})
+    opt_state = jax.device_put(tx.init(params))
+    vmask = graph.levels[0].vertex_mask()
+
+    def loss_fn(p, g):
+        out = model.apply({"params": p}, g)
+        loss, comp = inpainting_loss(out, g.color, g.mask, vmask, True)
+        return loss, comp
+
+    def perturb(g, s):
+        # unique input per iter: defeats tunnel-side result caching
+        return dataclasses.replace(g, x=g.x.at[:, 0:3].add(s * 1e-6))
+
+    def stage_fwd(params, opt_state, g, s):
+        return jnp.sum(loss_fn(params, perturb(g, s))[1]), params, opt_state
+
+    def stage_grad(params, opt_state, g, s):
+        (_, comp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, perturb(g, s))
+        return jnp.sum(comp) + jax.tree.reduce(
+            lambda a, b: a + jnp.sum(b), grads, 0.0), params, opt_state
+
+    def _opt(params, opt_state, g, s, metrics):
+        gp = perturb(g, s)
+        (loss, comp), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, gp)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        upd = jax.tree.map(lambda u: u * jnp.float32(lr), upd)
+        params = optax.apply_updates(params, upd)
+        out = jnp.sum(comp)
+        if metrics:
+            m = inpainting_metrics(comp, gp, loss)
+            out = out + sum(jnp.asarray(v, jnp.float32).sum()
+                            for v in m.values())
+        return out, params, opt_state
+
+    stages = [
+        ("fwd", jax.jit(stage_fwd)),
+        ("grad", jax.jit(stage_grad)),
+        ("grad+opt", jax.jit(lambda p, o, g, s: _opt(p, o, g, s, False))),
+        ("grad+opt+metrics",
+         jax.jit(lambda p, o, g, s: _opt(p, o, g, s, True))),
+        ("grad+opt donated",
+         jax.jit(lambda p, o, g, s: _opt(p, o, g, s, False),
+                 donate_argnums=(0, 1))),
+    ]
+
+    for name, fn in stages:
+        p, o = params, opt_state
+        t0 = time.perf_counter()
+        s, p, o = fn(p, o, graph, jnp.float32(0.5))
+        float(s)  # readback = hard sync through the tunnel
+        compile_s = time.perf_counter() - t0
+        s, p, o = fn(p, o, graph, s)
+        float(s)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            s, p, o = fn(p, o, graph, s)
+        float(s)
+        dt = (time.perf_counter() - t0) / ITERS
+        print(json.dumps({
+            "stage": name, "ms": round(dt * 1e3, 2),
+            "compile_s": round(compile_s, 1), "V": V, "dtype": DTYPE,
+            "windowed": WINDOWED,
+            "scene": os.environ.get("BENCH_SCENE", "grid")}), flush=True)
+        del p, o
+
+
+if __name__ == "__main__":
+    main()
