@@ -74,12 +74,24 @@ def _remaining():
 def build_scene(seed=0):
     """BENCH_SCENE selects the mesh family: 'grid' (default — friendly
     jittered-grid), 'sphere' / 'terrain' (hostile: native-QEM-decimated
-    irregular surfaces, utils/hostile.py; VERDICT r2 item 3)."""
+    irregular surfaces, utils/hostile.py; VERDICT r2 item 3). Hostile scenes
+    are pickle-cached on disk: the QEM ladder costs 60-90 s of the wall
+    budget at V=65536 and every tunnel-retry attempt would pay it again."""
     kind = os.environ.get("BENCH_SCENE", "grid")
     if kind in ("sphere", "terrain"):
+        import pickle
         from stinet_tpu.utils.hostile import hostile_scene
-        return hostile_scene(num_vertices=V, kind=kind, seed=seed,
-                             dilation_dists=(2, 4, 8, 16))
+        cache = f"/tmp/stinet_scene_{kind}_v{V}_s{seed}.pkl"
+        if os.path.exists(cache):
+            with open(cache, "rb") as f:
+                return pickle.load(f)
+        scene = hostile_scene(num_vertices=V, kind=kind, seed=seed,
+                              dilation_dists=(2, 4, 8, 16))
+        tmp = f"{cache}.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            pickle.dump(scene, f)
+        os.replace(tmp, cache)  # atomic: concurrent attempts see all-or-none
+        return scene
     from stinet_tpu.utils.synthetic import synthetic_scene
     return synthetic_scene(num_vertices=V, levels=3, seed=seed,
                            dilation_dists=(2, 4, 8, 16))
