@@ -73,14 +73,20 @@ def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
         return None
     nz = deg[deg > 0]
     d_cap = max(int(np.quantile(nz, cap_quantile)), 4)
-    d_cap = min(d_cap, d_in)
+    d_cap = min(d_cap, d_in, max_deg)
     spill_count = (int(np.maximum(deg - d_cap, 0).sum())
                    + int((~win_ok).sum()))
     if (d_cap >= d_in or spill_count > max_spill_frac * e) \
             and window_halo is None:
-        d_cap = d_in          # no spill: either unnecessary or unprofitable
-    if d_cap > max_deg:
-        return None           # hub-dominated graph: plain COO path
+        # spilling at the quantile cap is unnecessary or unprofitable:
+        # widen to the full degree where it fits under max_deg; if even a
+        # max-width table leaves >max_spill_frac of the edges in COO the
+        # graph is hub-dominated and pure COO beats a mostly-empty ELL
+        d_cap = min(d_in, max_deg)
+        if d_cap < d_in:
+            spill_at_cap = int(np.maximum(deg - d_cap, 0).sum())
+            if spill_at_cap > max_spill_frac * e:
+                return None
 
     # slot = position within the (dst-sorted) run restricted to in-window
     # edges: csum_ok[i] counts in-window edges strictly before i, and
@@ -91,15 +97,36 @@ def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
     run_start_ok[uniq] = csum_ok[first]
     slot = np.where(win_ok, csum_ok - run_start_ok[vd], d_cap)
     keep = win_ok & (slot < d_cap)
+
+    # Sender-side cap: a few hub SENDERS must not force the whole edge set
+    # onto the scatter path (observed: QEM-mesh dil16 tables with max
+    # out-degree 83 bailed entirely, costing ~4x on batched dispatch).
+    # Edges past a sender's first max_deg kept slots spill to COO; receiver
+    # slots re-pack afterwards so the `slot < deg` contiguity the ELL
+    # kernels mask by (ops/ell.py:_forward) still holds.
+    kidx = np.flatnonzero(keep)
+    if len(kidx):
+        kvs_k = vs[kidx]
+        order_k = np.argsort(kvs_k, kind="stable")
+        od_full = np.bincount(kvs_k, minlength=v_pad)
+        indptr_k = np.zeros(v_pad + 1, np.int64)
+        np.cumsum(od_full, out=indptr_k[1:])
+        rank = np.arange(len(kvs_k)) - indptr_k[kvs_k[order_k]]
+        overflow = order_k[rank >= max_deg]
+        if len(overflow):
+            keep[kidx[overflow]] = False
+            csum_k = np.cumsum(keep) - keep
+            run_start_k = np.zeros(v_pad, np.int64)
+            run_start_k[uniq] = csum_k[first]
+            slot = np.where(keep, csum_k - run_start_k[vd], d_cap)
+
     nbr = np.full((v_pad, d_cap), trash, np.int32)
     nbr[vd[keep], slot[keep]] = vs[keep]
-    ell_deg = np.minimum(deg, d_cap)
+    ell_deg = np.bincount(vd[keep], minlength=v_pad)
 
     kvs, kvd = vs[keep], vd[keep]
     out_deg = np.bincount(kvs, minlength=v_pad)
     d_out = int(out_deg.max()) if len(kvs) else 1
-    if d_out > max_deg:
-        return None
     order = np.argsort(kvs, kind="stable")
     indptr_o = np.zeros(v_pad + 1, np.int64)
     np.cumsum(out_deg, out=indptr_o[1:])
