@@ -14,22 +14,33 @@ All variances are biased (divide by N), matching torch.nn.functional
 """
 import jax.numpy as jnp
 
-from stinet_tpu.ops.segment import segment_sum
 
+def _group_sum(x, graph_id, num_graphs):
+    """Per-graph segment sum [V, C] -> [G, C] as a one-hot MXU matmul.
 
+    G (scene count) is tiny and static, so the [G, V] @ [V, C] product is
+    ~V*G*C flops on the MXU — versus a serialized scatter for
+    jax.ops.segment_sum on TPU, which made every multi-graph norm layer a
+    hot spot (batched B=4 serving measured ~2.9x worse than linear before
+    this). Pad rows carry graph_id == num_graphs and match no one-hot
+    column, so they contribute nowhere. Accumulates in >= f32."""
+    acc_dt = jnp.promote_types(x.dtype, jnp.float32)
+    oh = (graph_id[None, :] == jnp.arange(num_graphs,
+                                          dtype=graph_id.dtype)[:, None])
+    return (oh.astype(acc_dt) @ x.astype(acc_dt)).astype(x.dtype)
 
 
 def _per_graph_mean(x, graph_id, num_graphs, valid_mask):
     """Masked per-graph mean and count. x: [V, C] -> ([G, C], [G, 1]).
-    num_graphs == 1 avoids the segment scatter entirely (the common case:
+    num_graphs == 1 avoids even the one-hot product (the common case:
     batch_size 1 scenes and the single-graph FastInstanceNorm path)."""
     w = valid_mask.astype(x.dtype)[:, None]
     if num_graphs == 1:
         s = jnp.sum(x * w, axis=0, keepdims=True)
         n = jnp.sum(w, axis=0, keepdims=True)
         return s / jnp.maximum(n, 1.0), n
-    s = segment_sum(x * w, graph_id, num_graphs)
-    n = segment_sum(w, graph_id, num_graphs)
+    s = _group_sum(x * w, graph_id, num_graphs)
+    n = _group_sum(w, graph_id, num_graphs)
     return s / jnp.maximum(n, 1.0), n
 
 
@@ -45,7 +56,8 @@ def masked_instance_norm(x, graph_id, num_graphs, valid_mask, eps=1e-5):
             / jnp.maximum(n, 1.0)
         return centered * (var[0] + eps) ** -0.5
     centered = (x - jnp.take(mean, graph_id, axis=0, mode='clip')) * w
-    var = segment_sum(centered * centered, graph_id, num_graphs) / jnp.maximum(n, 1.0)
+    var = _group_sum(centered * centered, graph_id, num_graphs) \
+        / jnp.maximum(n, 1.0)
     inv = (var + eps) ** -0.5
     return centered * jnp.take(inv, graph_id, axis=0, mode='clip')
 
@@ -67,7 +79,7 @@ def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
         out = out * (var[0] + eps) ** -0.5
         return (weight * out + bias) * w
     out = (x - jnp.take(mean, graph_id, axis=0, mode='clip') * mean_scale) * w
-    var = segment_sum(out * out, graph_id, num_graphs) / jnp.maximum(n, 1.0)
+    var = _group_sum(out * out, graph_id, num_graphs) / jnp.maximum(n, 1.0)
     std_inv = (var + eps) ** -0.5
     out = out * jnp.take(std_inv, graph_id, axis=0, mode='clip')
     return (weight * out + bias) * w
