@@ -28,6 +28,8 @@ not E (the reference pays the 2C->2H matmul once per *edge*).
 This module implements only the per-edge part; the dense matmuls live in the
 Flax modules (stinet_tpu/models/stinet.py).
 """
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -56,8 +58,16 @@ def _windowed_kernel_applies(p, nbr, halo):
     it wins 1.3-5x fwd and 1.2-1.5x fwd+bwd for H=128 AND H=256; at
     H=256/halo=512 and at H=512 the one-hot MXU flops (~ W*H per row)
     outgrow the shrinking gather traffic and it loses — hence the
-    H-dependent halo cap."""
-    import os
+    H-dependent halo cap.
+
+    Caps were re-tightened from full-model A/B on hostile QEM scene
+    families (bench_windowed_ab.py; memory lesson: op microbenchmarks
+    mislead): at terrain's halo=768 the bf16 windowed full model measured
+    13.38 ms vs 10.7 ms for plain f32 — the old H=128 cap of 2048 (tuned
+    on grid meshes whose halos never exceed 256) shipped the kernel far
+    past its win region. Override per shape with
+    STINET_WINDOWED_CAPS="bf16:128=512,f32:256=0" (cap 0 disables) when
+    sweeping a new mesh family with bench_windowed_ab.py."""
     v, h = p.shape
     if halo is None or v % 128 != 0:
         return False
@@ -67,16 +77,35 @@ def _windowed_kernel_applies(p, nbr, halo):
     if (jax.default_backend() != "tpu"
             and not os.environ.get("STINET_WINDOWED_INTERPRET")):
         return False
+    caps = _halo_caps()
     if p.dtype == jnp.bfloat16:
-        return (h == 128 and halo <= 2048) or (h == 256 and halo <= 384)
+        return halo <= caps.get(("bf16", h), 0)
     if p.dtype == jnp.float32:
         # exact bf16x3-plane variant (bit-identical forward at the op
         # level, XLA backward): only H=256 wins consistently (1.4-1.6x);
         # H=128 is op-parity but LOSES in the fused model (Pallas call
         # boundaries + plane-split traffic: full-model 12.3 vs 8.9 ms with
         # all shapes enabled), H=512's window VMEM cost isn't paid back
-        return h == 256 and halo <= 384
+        return halo <= caps.get(("f32", h), 0)
     return False
+
+
+# Measured win regions (v5e, full-model A/B): grid family (halos <= 256)
+# wins for bf16 H=128/H=256 and exact-f32 H=256; terrain (halo 768) loses.
+_DEFAULT_HALO_CAPS = {("bf16", 128): 384, ("bf16", 256): 384,
+                      ("f32", 256): 384}
+
+
+def _halo_caps():
+    spec = os.environ.get("STINET_WINDOWED_CAPS")
+    if not spec:
+        return _DEFAULT_HALO_CAPS
+    caps = dict(_DEFAULT_HALO_CAPS)
+    for item in spec.split(","):
+        key, _, val = item.strip().partition("=")
+        dt, _, hs = key.partition(":")
+        caps[(dt.strip(), int(hs))] = int(val)
+    return caps
 
 
 def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
