@@ -56,11 +56,13 @@ METRIC = "stinet3d_inference_vertices_per_sec_per_chip"
 # driver timeout at any point still leaves a parseable line, and re-printed
 # (tagged stale) if no live measurement lands inside the wall budget.
 _LAST_GOOD = {
-    "value": 7833205.5, "vs_baseline": 2145.22, "tpu_ms_per_scene": 8.37,
-    "measured": "2026-08-17 round 3 (live tunnel: f32 8.37 ms/scene, "
-                "torch-CPU 17948 ms/scene pinned 8 threads; earlier same-day "
-                "full run: bf16 windowed 9.76 ms, train step 34.37 ms; "
-                "grid-surface synthetic scene, halo ladder build)"}
+    "value": 8096076.0, "vs_baseline": 1192.32, "tpu_ms_per_scene": 8.09,
+    "measured": "2026-08-17 round 3 post one-hot-norm (live tunnel, all "
+                "stages: f32 8.09 ms/scene, bf16 7.78 ms, train step "
+                "38.0 ms, torch-CPU 9652 ms/scene pinned 8 threads "
+                "median-of-3; grid-surface synthetic scene, halo ladder "
+                "build; terrain hostile scene same run: f32 10.0 ms, "
+                "bf16 9.57 ms)"}
 
 
 def _deadline():
