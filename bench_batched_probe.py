@@ -1,0 +1,157 @@
+"""Batched-serving regression probe (round 3).
+
+`bench.py` B=4 batched serving measures ~1.85x worse per vertex than the
+single-scene dispatch even after the one-hot norm matmuls (BENCH_NOTES
+round-3 post-one-hot table: 59.9 ms/dispatch vs 4 x 8.09 = 32.4 ms ideal).
+This probe isolates WHERE the superlinearity lives by timing, on the real
+device:
+
+  1. full forward, B=1 graph (as bench.py primary)
+  2. full forward, B=4 graph as built (num_graphs=4 -> one-hot norm path)
+  3. full forward, B=4 shapes but graph_id:=0 / num_graphs:=1 (same tensor
+     shapes, single-graph norm code path; numerics differ, compute doesn't)
+  4. masked_instance_norm microbench at the B=4 level-0 shape, G=1 vs G=4
+  5. ELL aggregate microbench at the B=1 vs B=4 level-0 tables
+
+If (3) lands near 4x the B=1 time, the gap is entirely the multi-graph
+norm handling; if (3) is already slow, the cost is shape-driven (gather
+locality / XLA program shape) and the norm path is innocent.
+
+Prints one JSON line per stage (cumulative keys), same contract as
+bench.py so the retry queue can capture partial progress.
+"""
+import dataclasses
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+
+import jax
+
+# honor an explicit platform request (the axon plugin overrides the
+# JAX_PLATFORMS env var at import time; same dance as bench.py)
+_plat = os.environ.get("BENCH_PLATFORM")
+if _plat:
+    jax.config.update("jax_platforms", _plat)
+
+import jax.numpy as jnp
+import numpy as np
+
+import bench
+from stinet_tpu.graph.build import build_hierarchical_graph
+from stinet_tpu.models.factory import define_G
+from stinet_tpu.ops.norms import masked_instance_norm
+
+ITERS = int(os.environ.get("BENCH_ITERS", 20))
+V = bench.V
+
+
+def _sync(x):
+    return float(jnp.sum(x))
+
+
+def _time_fwd(model, params, graph, iters=ITERS):
+    @jax.jit
+    def chain(params, graph, out):
+        x = graph.x.at[:, 0:3].add(out * 1e-6)
+        return model.apply({"params": params},
+                           dataclasses.replace(graph, x=x))
+
+    out = chain(params, graph,
+                jnp.zeros((graph.x.shape[0], 3), graph.x.dtype))
+    _sync(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = chain(params, graph, out)
+    _sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    acc = {"V": V, "iters": ITERS,
+           "platform": jax.devices()[0].platform}
+
+    def emit():
+        print(json.dumps(acc), flush=True)
+
+    scenes = [bench.build_scene(seed=i) for i in range(4)]
+    g1 = jax.device_put(build_hierarchical_graph(scenes[:1]))
+    g4 = jax.device_put(build_hierarchical_graph(scenes))
+
+    model = define_G(input_nc=10, output_nc=3, ngf=bench.NGF,
+                     n_blocks=bench.N_BLOCKS, dilations=bench.DILATIONS,
+                     norm="instance", pooling_type="max", n_levels=2,
+                     n_repeated_io_convs=1, filter_type="edgeconvtransinv",
+                     dtype="float32")
+    params = jax.device_put(
+        jax.jit(model.init)(jax.random.key(0), g1)["params"])
+
+    acc["fwd_b1_ms"] = round(_time_fwd(model, params, g1) * 1e3, 2)
+    emit()
+
+    acc["fwd_b4_ms"] = round(_time_fwd(model, params, g4) * 1e3, 2)
+    emit()
+
+    # B=4 shapes, single-graph code path: zero the graph ids everywhere and
+    # claim num_graphs=1. Pad rows keep id 0 too — fine for timing (the
+    # masked reductions still run; values differ, shapes/programs don't).
+    g4_as1 = dataclasses.replace(
+        g4,
+        levels=tuple(
+            dataclasses.replace(l, graph_id=jnp.zeros_like(l.graph_id))
+            for l in g4.levels),
+        num_graphs=1)
+    acc["fwd_b4_g1_ms"] = round(_time_fwd(model, params, g4_as1) * 1e3, 2)
+    emit()
+
+    # norm microbench at the B=4 level-0 shape
+    v_pad = g4.levels[0].graph_id.shape[0]
+    gid = jax.device_put(g4.levels[0].graph_id)
+    vmask = (gid < 4)
+    x = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).standard_normal(
+            (v_pad, 64), dtype=np.float32)))
+
+    for tag, ng, ids in (("norm_g1_ms", 1, jnp.zeros_like(gid)),
+                         ("norm_g4_ms", 4, gid)):
+        f = jax.jit(lambda x, i, n=ng, m=vmask.astype(jnp.float32):
+                    masked_instance_norm(x, i, n, m))
+        y = f(x, ids)
+        _sync(y)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            y = f(y, ids)
+        _sync(y)
+        acc[tag] = round((time.perf_counter() - t0) / 50 * 1e3, 3)
+        emit()
+
+    # ELL aggregate microbench, level-0 tables, B=1 vs B=4
+    from stinet_tpu.ops.message_passing import edge_conv_aggregate
+    for tag, g in (("agg_b1_ms", g1), ("agg_b4_ms", g4)):
+        lvl = g.levels[0]
+        xa = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (lvl.graph_id.shape[0], 64), dtype=np.float32))
+
+        def agg(x, e=lvl.edges):
+            return edge_conv_aggregate(
+                x, x, e.src, e.dst, num_segments=e.degree.shape[0],
+                aggr="mean", degree=e.degree.astype(x.dtype), nbr=e.nbr,
+                rev_dst=e.rev_dst, out_degree=e.out_degree,
+                ell_degree=e.ell_degree, spill_src=e.spill_src,
+                spill_dst=e.spill_dst, halo=e.halo)
+
+        f = jax.jit(agg)
+        y = f(xa)
+        _sync(y)
+        t0 = time.perf_counter()
+        for _ in range(50):
+            y = f(y)
+        _sync(y)
+        acc[tag] = round((time.perf_counter() - t0) / 50 * 1e3, 3)
+        emit()
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,18 @@ def _group_sum(x, graph_id, num_graphs):
     return (oh.astype(acc_dt) @ x.astype(acc_dt)).astype(x.dtype)
 
 
+def _broadcast_rows(table, graph_id, num_graphs):
+    """Per-vertex broadcast [G, C] -> [V, C] of a per-graph table as a
+    one-hot MXU matmul. `jnp.take(table, graph_id)` lowers to a V-row
+    dynamic gather, which TPUs serialize; the [V, G] @ [G, C] product is
+    a trivially small matmul instead. Pad rows (graph_id == num_graphs)
+    match no one-hot column and broadcast to zero — callers mask pad rows
+    anyway, so semantics are unchanged from the clipped take."""
+    oh = (graph_id[:, None] == jnp.arange(num_graphs,
+                                          dtype=graph_id.dtype)[None, :])
+    return oh.astype(table.dtype) @ table
+
+
 def _per_graph_mean(x, graph_id, num_graphs, valid_mask):
     """Masked per-graph mean and count. x: [V, C] -> ([G, C], [G, 1]).
     num_graphs == 1 avoids even the one-hot product (the common case:
@@ -55,11 +67,11 @@ def masked_instance_norm(x, graph_id, num_graphs, valid_mask, eps=1e-5):
         var = jnp.sum(centered * centered, axis=0, keepdims=True) \
             / jnp.maximum(n, 1.0)
         return centered * (var[0] + eps) ** -0.5
-    centered = (x - jnp.take(mean, graph_id, axis=0, mode='clip')) * w
+    centered = (x - _broadcast_rows(mean, graph_id, num_graphs)) * w
     var = _group_sum(centered * centered, graph_id, num_graphs) \
         / jnp.maximum(n, 1.0)
     inv = (var + eps) ** -0.5
-    return centered * jnp.take(inv, graph_id, axis=0, mode='clip')
+    return centered * _broadcast_rows(inv, graph_id, num_graphs)
 
 
 def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
@@ -78,10 +90,10 @@ def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
         var = jnp.sum(out * out, axis=0, keepdims=True) / jnp.maximum(n, 1.0)
         out = out * (var[0] + eps) ** -0.5
         return (weight * out + bias) * w
-    out = (x - jnp.take(mean, graph_id, axis=0, mode='clip') * mean_scale) * w
+    out = (x - _broadcast_rows(mean, graph_id, num_graphs) * mean_scale) * w
     var = _group_sum(out * out, graph_id, num_graphs) / jnp.maximum(n, 1.0)
     std_inv = (var + eps) ** -0.5
-    out = out * jnp.take(std_inv, graph_id, axis=0, mode='clip')
+    out = out * _broadcast_rows(std_inv, graph_id, num_graphs)
     return (weight * out + bias) * w
 
 
