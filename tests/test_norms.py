@@ -76,3 +76,40 @@ def test_batch_norm_stats_masked(rng):
     mean, var = masked_batch_norm_stats(jnp.asarray(x), jnp.asarray(mask))
     np.testing.assert_allclose(np.asarray(mean), x[:n].mean(0), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(var), x[:n].var(0), rtol=1e-4, atol=1e-6)
+
+
+def test_broadcast_rows_matches_take_and_zeroes_pads(rng):
+    from stinet_tpu.ops.norms import _broadcast_rows
+    g, c, v = 5, 7, 40
+    table = rng.normal(size=(g, c)).astype(np.float32)
+    # ragged sorted graph ids + pad rows carrying id == g
+    gid = np.sort(rng.integers(0, g, size=v)).astype(np.int32)
+    gid[-6:] = g
+    got = np.asarray(_broadcast_rows(
+        jnp.asarray(table), jnp.asarray(gid), g))
+    valid = gid < g
+    np.testing.assert_allclose(got[valid], table[gid[valid]], rtol=1e-6)
+    assert np.all(got[~valid] == 0.0)
+
+
+def test_multigraph_instance_norm_matches_pergraph_dense(rng):
+    """G>1 one-hot path == running the G=1 path per graph segment."""
+    sizes = [17, 25, 9]
+    pad = 8
+    c = 4
+    xs = [rng.normal(size=(s, c)).astype(np.float32) for s in sizes]
+    x = np.concatenate(xs + [np.zeros((pad, c), np.float32)])
+    gid = np.concatenate(
+        [np.full(s, i, np.int32) for i, s in enumerate(sizes)]
+        + [np.full(pad, len(sizes), np.int32)])
+    mask = (gid < len(sizes)).astype(np.float32)
+    got = np.asarray(masked_instance_norm(
+        jnp.asarray(x), jnp.asarray(gid), len(sizes), jnp.asarray(mask)))
+    off = 0
+    for s, xi in zip(sizes, xs):
+        want = np.asarray(masked_instance_norm(
+            jnp.asarray(xi), jnp.zeros(s, jnp.int32), 1, jnp.ones(s)))
+        np.testing.assert_allclose(got[off:off + s], want,
+                                   rtol=1e-4, atol=1e-5)
+        off += s
+    assert np.all(got[off:] == 0.0)
