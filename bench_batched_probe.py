@@ -106,6 +106,34 @@ def main():
     acc["fwd_b4_g1_ms"] = round(_time_fwd(model, params, g4_as1) * 1e3, 2)
     emit()
 
+    # matmul-reduce norm sums (w.T @ x instead of jnp.sum) — flag is read
+    # at trace time, so toggling the env between fresh jits works here
+    os.environ["STINET_NORM_MATMUL_REDUCE"] = "1"
+    acc["fwd_b1_mm_ms"] = round(_time_fwd(model, params, g1) * 1e3, 2)
+    emit()
+    acc["fwd_b4_mm_ms"] = round(_time_fwd(model, params, g4_as1) * 1e3, 2)
+    emit()
+    del os.environ["STINET_NORM_MATMUL_REDUCE"]
+
+    # windowed bf16: single vs batched. The windowed kernel streams
+    # fixed-size sender windows, so its cost should be insensitive to the
+    # total table size — the candidate fix for the batched gather-locality
+    # collapse (agg_b4 ~5.6x agg_b1 above).
+    model16 = define_G(input_nc=10, output_nc=3, ngf=bench.NGF,
+                       n_blocks=bench.N_BLOCKS, dilations=bench.DILATIONS,
+                       norm="instance", pooling_type="max", n_levels=2,
+                       n_repeated_io_convs=1,
+                       filter_type="edgeconvtransinv", dtype="bfloat16")
+    for tag, built in (
+            ("wfwd_b1_ms", scenes[:1]),
+            ("wfwd_b4_ms", scenes)):
+        gw = jax.device_put(build_hierarchical_graph(built, windowed=True))
+        p16 = jax.device_put(
+            jax.jit(model16.init)(jax.random.key(0), gw)["params"])
+        acc[tag] = round(_time_fwd(model16, p16, gw) * 1e3, 2)
+        emit()
+        del gw, p16
+
     # norm microbench at the B=4 level-0 shape
     v_pad = g4.levels[0].graph_id.shape[0]
     gid = jax.device_put(g4.levels[0].graph_id)

@@ -12,7 +12,18 @@ results agree; these also work for ragged batches.
 All variances are biased (divide by N), matching torch.nn.functional
 .instance_norm and the reference's `var = sumsq / norm`.
 """
+import os
+
 import jax.numpy as jnp
+
+
+def _matmul_reduce():
+    """Opt-in (STINET_NORM_MATMUL_REDUCE=1): single-graph norm sums as
+    mask-vector matmuls (w.T @ x) instead of jnp.sum. The B=4 probe
+    measured the one-hot MXU reduction FASTER than XLA's plain sum at
+    [262k, 64] (0.99 vs 1.6 ms, bench_batched_probe.py); gated until the
+    full-model A/B confirms on hardware (op microbenches mislead)."""
+    return os.environ.get("STINET_NORM_MATMUL_REDUCE") == "1"
 
 
 def _group_sum(x, graph_id, num_graphs):
@@ -48,7 +59,10 @@ def _per_graph_mean(x, graph_id, num_graphs, valid_mask):
     batch_size 1 scenes and the single-graph FastInstanceNorm path)."""
     w = valid_mask.astype(x.dtype)[:, None]
     if num_graphs == 1:
-        s = jnp.sum(x * w, axis=0, keepdims=True)
+        if _matmul_reduce():
+            s = w.T @ x  # [1, C]; the product applies the mask
+        else:
+            s = jnp.sum(x * w, axis=0, keepdims=True)
         n = jnp.sum(w, axis=0, keepdims=True)
         return s / jnp.maximum(n, 1.0), n
     s = _group_sum(x * w, graph_id, num_graphs)
@@ -64,8 +78,12 @@ def masked_instance_norm(x, graph_id, num_graphs, valid_mask, eps=1e-5):
     mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
     if num_graphs == 1:
         centered = (x - mean[0]) * w
-        var = jnp.sum(centered * centered, axis=0, keepdims=True) \
-            / jnp.maximum(n, 1.0)
+        if _matmul_reduce():
+            # centered is already masked; w.T re-selects the valid rows
+            var = (w.T @ (centered * centered)) / jnp.maximum(n, 1.0)
+        else:
+            var = jnp.sum(centered * centered, axis=0, keepdims=True) \
+                / jnp.maximum(n, 1.0)
         return centered * (var[0] + eps) ** -0.5
     centered = (x - _broadcast_rows(mean, graph_id, num_graphs)) * w
     var = _group_sum(centered * centered, graph_id, num_graphs) \
@@ -87,7 +105,11 @@ def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
     mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
     if num_graphs == 1:
         out = (x - mean[0] * mean_scale) * w
-        var = jnp.sum(out * out, axis=0, keepdims=True) / jnp.maximum(n, 1.0)
+        if _matmul_reduce():
+            var = (w.T @ (out * out)) / jnp.maximum(n, 1.0)
+        else:
+            var = jnp.sum(out * out, axis=0, keepdims=True) \
+                / jnp.maximum(n, 1.0)
         out = out * (var[0] + eps) ** -0.5
         return (weight * out + bias) * w
     out = (x - _broadcast_rows(mean, graph_id, num_graphs) * mean_scale) * w
