@@ -65,3 +65,15 @@ def latest_checkpoint(run_dir):
     cands = sorted(run_dir.glob("checkpoint-epoch*.ckpt"),
                    key=lambda p: int("".join(filter(str.isdigit, p.stem))))
     return cands[-1] if cands else None
+
+
+def load_model_params(path, name, params_template):
+    """Restore one model's params from a checkpoint WITHOUT optimizer
+    templates (serving / standalone eval). The full-state loader
+    (load_checkpoint) needs matching opt-state pytrees; here we msgpack-
+    decode the raw tree and lift just state_dicts[name] onto the given
+    params template."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    return serialization.from_state_dict(
+        params_template, raw["state_dicts"][name])

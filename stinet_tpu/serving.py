@@ -1,0 +1,207 @@
+"""One-process production serving for trained mesh-inpainting generators.
+
+The reference has no serving path — inference happens inside the trainer's
+eval loop (/root/reference/trainers/inpainting3d_trainer.py:~200, one torch
+scene at a time); its only export is TorchScript
+(/root/reference/utils/model_io_utils.py:88-133). A TPU-native server's
+first requirement is SHAPE STABILITY: everything under `jit` compiles once
+per input-shape signature, so incoming scenes must land on a small ladder
+of padded shapes for the compile cache to amortize across a traffic stream.
+
+`SceneInpainter` wraps a trained generator with:
+  * geometric bucket padding (``build_hierarchical_graph(geometric=True)``)
+    so scene sizes map onto a coarse ladder — a handful of compilations
+    serves any stream of similar scenes;
+  * optional bandwidth-ordered (``windowed=True``) builds for the Pallas
+    one-hot MXU kernel path (the bf16 production fast path; see
+    stinet_tpu/ops/pallas/README.md for the dispatch caps);
+  * batched dispatch (B scenes in one program). NOTE the measured
+    locality cost of concatenated batching on 65k-vertex scenes
+    (BENCH_NOTES.md round-3 probe: the ELL gather runs ~1.4x slower per
+    vertex at 4x table size) — batching pays off for SMALL scenes where
+    per-dispatch overhead dominates, not for flagship-sized ones;
+  * ``warmup()`` to pay all compiles before serving traffic, and
+    ``num_compiles()`` to watch for shape-ladder leaks in production;
+  * ``export()`` — serialized StableHLO for a fixed shape
+    (utils/model_io.py, the TorchScript-export analog).
+"""
+import dataclasses
+import json
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from stinet_tpu.graph.build import RawHierarchy, build_hierarchical_graph
+
+
+class SceneInpainter:
+    """Serve `model.apply` over preprocessed scene hierarchies.
+
+    model: a Flax generator (models/factory.define_G result).
+    params: its trained parameter pytree.
+    """
+
+    def __init__(self, model, params, *, windowed: bool = False,
+                 pad_multiple: int = 128, geometric: bool = True):
+        self.model = model
+        self.params = jax.device_put(params)
+        self.windowed = windowed
+        self.pad_multiple = pad_multiple
+        self.geometric = geometric
+        # running-max table widths per (level, edge-set, field): see
+        # _normalize_widths
+        self._widths = {}
+        self._fwd = jax.jit(
+            lambda p, g: self.model.apply({"params": p}, g))
+
+    # -- building ------------------------------------------------------
+    def _build(self, scenes: Sequence[RawHierarchy]):
+        graph = build_hierarchical_graph(
+            list(scenes), pad_multiple=self.pad_multiple,
+            geometric=self.geometric, windowed=self.windowed)
+        return jax.device_put(self._normalize_widths(graph))
+
+    def _normalize_widths(self, graph):
+        """Pad the data-dependent table dims onto per-server running
+        maxima so same-bucket scenes share one compiled signature.
+
+        The vertex/edge buckets are geometric, but the ELL slot width
+        (p97-degree cap), reverse-table width (max out-degree), spill
+        length, and children width are data-dependent — two same-sized
+        scenes can differ by a column and trigger a recompile. Extra
+        columns/rows are filled with the level's trash vertex: trash rows
+        carry zero features and are masked everywhere, so padded tables
+        are semantically identical (the builder already pads ragged rows
+        the same way). Widths only grow, so the compile count is bounded
+        by the number of distinct running-max states (plateaus fast)."""
+        def grown(key, cur):
+            w = max(self._widths.get(key, 0), cur)
+            self._widths[key] = w
+            return w
+
+        def norm_es(es, li, dk, trash):
+            if es is None or es.nbr is None:
+                return es
+            upd = {}
+            for f in ("nbr", "rev_dst"):
+                arr = np.asarray(getattr(es, f))
+                w = grown((li, dk, f), arr.shape[1])
+                if w > arr.shape[1]:
+                    upd[f] = np.concatenate(
+                        [arr, np.full((arr.shape[0], w - arr.shape[1]),
+                                      trash, arr.dtype)], axis=1)
+            cur = (0 if es.spill_src is None
+                   else int(es.spill_src.shape[0]))
+            w = grown((li, dk, "spill"), cur)
+            if w > cur:
+                # all-trash spill edges scatter onto the trash row, which
+                # is masked out — an empty-but-present spill unifies the
+                # treedef with scenes that do spill
+                for f, arr in (("spill_src", es.spill_src),
+                               ("spill_dst", es.spill_dst)):
+                    base = (np.asarray(arr) if arr is not None
+                            else np.zeros((0,), np.int32))
+                    upd[f] = np.concatenate(
+                        [base, np.full(w - cur, trash, np.int32)])
+            cur_e = int(es.src.shape[0])
+            w = grown((li, dk, "edges"), cur_e)
+            if w > cur_e:
+                for f in ("src", "dst"):
+                    arr = np.asarray(getattr(es, f))
+                    upd[f] = np.concatenate(
+                        [arr, np.full(w - cur_e, trash, arr.dtype)])
+            return es.replace(**upd) if upd else es
+
+        new_levels = []
+        for li, lev in enumerate(graph.levels):
+            trash = int(lev.graph_id.shape[0]) - 1
+            edges = norm_es(lev.edges, li, "base", trash)
+            dil = {d: norm_es(es, li, d, trash)
+                   for d, es in lev.dilated.items()}
+            new_levels.append(lev.replace(edges=edges, dilated=dil))
+
+        children = []
+        for l, ch in enumerate(graph.children):
+            if ch is None:
+                children.append(ch)
+                continue
+            arr = np.asarray(ch)
+            fine_trash = int(graph.levels[l].graph_id.shape[0]) - 1
+            w = grown((l, "children", "w"), arr.shape[1])
+            if w > arr.shape[1]:
+                arr = np.concatenate(
+                    [arr, np.full((arr.shape[0], w - arr.shape[1]),
+                                  fine_trash, arr.dtype)], axis=1)
+            children.append(arr)
+        return graph.replace(levels=tuple(new_levels),
+                             children=tuple(children))
+
+    # -- inference -----------------------------------------------------
+    def predict(self, scene: RawHierarchy) -> np.ndarray:
+        """Inpaint one scene; returns [num_vertices, output_nc] colors for
+        the valid level-0 vertices."""
+        out = self._fwd(self.params, self._build([scene]))
+        return np.asarray(out[:scene.num_vertices[0]])
+
+    def predict_batch(self, scenes: Sequence[RawHierarchy]) \
+            -> List[np.ndarray]:
+        """One dispatch over B concatenated scenes; returns per-scene
+        valid-vertex colors. See the module docstring for when batching
+        actually wins."""
+        out = np.asarray(self._fwd(self.params, self._build(scenes)))
+        results, off = [], 0
+        for s in scenes:
+            n = s.num_vertices[0]
+            results.append(out[off:off + n])
+            off += n
+        return results
+
+    # -- operations ----------------------------------------------------
+    def warmup(self, scenes: Sequence[RawHierarchy],
+               batch_sizes: Sequence[int] = (1,)):
+        """Pay compilation for every bucket signature the given
+        representative scenes produce, at each batch size."""
+        for b in batch_sizes:
+            for i in range(0, max(len(scenes) - b + 1, 1)):
+                chunk = list(scenes[i:i + b])
+                if len(chunk) == b:
+                    self._fwd(self.params, self._build(chunk))
+
+    def num_compiles(self) -> int:
+        """Compiled-signature count — watch it plateau in production; a
+        steady climb means the bucket ladder is leaking shapes."""
+        return int(self._fwd._cache_size())
+
+    def export(self, scene: RawHierarchy, out_path: str) -> str:
+        """Serialize the forward at this scene's bucket signature to
+        StableHLO (callable later without model code, utils/model_io.py)."""
+        from stinet_tpu.utils.model_io import export_serving
+        graph = self._build([scene])
+        return export_serving(
+            lambda g: self.model.apply({"params": self.params}, g),
+            (graph,), out_path)
+
+    # -- construction --------------------------------------------------
+    @classmethod
+    def from_checkpoint(cls, ckpt_path, example_scene: RawHierarchy,
+                        arch_key: str = "graph",
+                        arch_overrides: Optional[dict] = None, **kw):
+        """Rebuild the generator from the checkpoint's meta sidecar
+        (core/checkpoint.py save format) and restore its params — no
+        optimizer templates needed. `arch_overrides` lets serving flip
+        e.g. dtype="bfloat16" relative to the training config."""
+        from stinet_tpu.core.checkpoint import load_model_params
+        from stinet_tpu.models.factory import define_G
+
+        with open(str(ckpt_path) + ".meta.json") as f:
+            meta = json.load(f)
+        args = dict(meta["config"]["archs"][arch_key]["args"])
+        args.update(arch_overrides or {})
+        model = define_G(**args)
+        server = cls(model, {}, **kw)
+        graph = server._build([example_scene])
+        template = jax.jit(model.init)(jax.random.key(0), graph)["params"]
+        server.params = jax.device_put(
+            load_model_params(ckpt_path, arch_key, template))
+        return server

@@ -39,11 +39,22 @@ def find_checkpoint(experiment_name: str, run_id: str = None,
 
 def export_serving(fn, example_args, out_path: str):
     """AOT-export a jitted callable to serialized StableHLO. Load with
-    `load_serving` and call without any model/python code."""
+    `load_serving` and call without any model/python code.
+
+    The export's calling convention is the FLATTENED leaf list of
+    `example_args` (jax.export cannot serialize our graph dataclasses'
+    pytree structure — int-keyed dilation dicts are unsupported), so the
+    loaded callable flattens its arguments the same way; pass structures
+    congruent with `example_args`."""
     import jax
     from jax import export as jexport
 
-    exported = jexport.export(jax.jit(fn))(*example_args)
+    leaves, treedef = jax.tree.flatten(example_args)
+
+    def fn_flat(*leaf_args):
+        return fn(*jax.tree.unflatten(treedef, leaf_args))
+
+    exported = jexport.export(jax.jit(fn_flat))(*leaves)
     data = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(data)
@@ -51,7 +62,14 @@ def export_serving(fn, example_args, out_path: str):
 
 
 def load_serving(path: str):
+    """Returns a callable taking the same (structured) arguments as the
+    exported fn; they are flattened to the export's leaf convention."""
+    import jax
     from jax import export as jexport
     with open(path, "rb") as f:
         exported = jexport.deserialize(f.read())
-    return exported.call
+
+    def call(*args):
+        return exported.call(*jax.tree.leaves(args))
+
+    return call

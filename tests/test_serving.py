@@ -1,0 +1,104 @@
+"""SceneInpainter serving wrapper: parity with direct apply, batched
+dispatch slicing, bucket-ladder compile stability, checkpoint restore and
+StableHLO export roundtrip (stinet_tpu/serving.py)."""
+import numpy as np
+import pytest
+
+import jax
+
+from stinet_tpu.graph.build import build_hierarchical_graph
+from stinet_tpu.models.factory import define_G
+from stinet_tpu.serving import SceneInpainter
+from stinet_tpu.utils.synthetic import synthetic_scene
+
+
+def _tiny_model():
+    return define_G(input_nc=10, output_nc=3, ngf=8, n_blocks=2,
+                    dilations=[1, 1], norm="instance", pooling_type="max",
+                    n_levels=2, n_repeated_io_convs=1,
+                    filter_type="edgeconvtransinv", dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def served():
+    model = _tiny_model()
+    scene = synthetic_scene(num_vertices=500, levels=3, seed=0)
+    graph = build_hierarchical_graph([scene])
+    params = jax.jit(model.init)(jax.random.key(0), graph)["params"]
+    return model, params, scene
+
+
+def test_predict_matches_direct_apply(served):
+    model, params, scene = served
+    server = SceneInpainter(model, params)
+    got = server.predict(scene)
+    graph = build_hierarchical_graph([scene], geometric=True)
+    want = np.asarray(model.apply({"params": params}, graph))
+    n = scene.num_vertices[0]
+    assert got.shape == (n, 3)
+    np.testing.assert_allclose(got, want[:n], rtol=1e-5, atol=1e-6)
+
+
+def test_predict_batch_slices_per_scene(served):
+    model, params, scene = served
+    server = SceneInpainter(model, params)
+    scenes = [scene, synthetic_scene(num_vertices=500, levels=3, seed=1)]
+    singles = [server.predict(s) for s in scenes]
+    batched = server.predict_batch(scenes)
+    assert len(batched) == 2
+    for got, want, s in zip(batched, singles, scenes):
+        assert got.shape == (s.num_vertices[0], 3)
+        # norms are per-graph, so concat-batched output matches the
+        # single-scene dispatch up to f32 reduction-order noise
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_bucket_ladder_reuses_compilation(served):
+    """Running-max width normalization: compiles while table widths grow,
+    then plateaus — post-warmup traffic hits the jit cache."""
+    model, params, _ = served
+    server = SceneInpainter(model, params)
+    a = synthetic_scene(num_vertices=500, levels=3, seed=2)
+    b = synthetic_scene(num_vertices=500, levels=3, seed=3)
+    server.warmup([a, b])
+    n0 = server.num_compiles()
+    outs = [server.predict(a), server.predict(b)]
+    assert server.num_compiles() == n0, \
+        "post-warmup same-bucket scenes should hit the jit cache"
+    # width padding must not change values: compare against a fresh
+    # un-normalized server
+    fresh = SceneInpainter(model, params)
+    np.testing.assert_allclose(outs[1], fresh.predict(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_from_checkpoint_roundtrip(served, tmp_path):
+    model, params, scene = served
+    from stinet_tpu.core.checkpoint import save_checkpoint
+    ckpt = tmp_path / "model_best.ckpt"
+    config = {"archs": {"graph": {"type": "define_G", "args": dict(
+        input_nc=10, output_nc=3, ngf=8, n_blocks=2, dilations=[1, 1],
+        norm="instance", pooling_type="max", n_levels=2,
+        n_repeated_io_convs=1, filter_type="edgeconvtransinv",
+        dtype="float32")}}}
+    save_checkpoint(ckpt, models={"graph": params},
+                    opt_states={"graph": {}}, epoch=3, monitor_best=0.5,
+                    config=config, archs={"graph": "STINet"})
+    server = SceneInpainter.from_checkpoint(ckpt, scene)
+    direct = SceneInpainter(model, params)
+    np.testing.assert_allclose(server.predict(scene),
+                               direct.predict(scene), rtol=1e-6)
+
+
+def test_export_roundtrip(served, tmp_path):
+    model, params, scene = served
+    from stinet_tpu.utils.model_io import load_serving
+    server = SceneInpainter(model, params)
+    path = server.export(scene, str(tmp_path / "fwd.stablehlo"))
+    fn = load_serving(path)
+    graph = server._build([scene])
+    got = np.asarray(fn(graph)[0] if isinstance(fn(graph), (list, tuple))
+                     else fn(graph))
+    n = scene.num_vertices[0]
+    np.testing.assert_allclose(got[:n], server.predict(scene),
+                               rtol=1e-5, atol=1e-6)
