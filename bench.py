@@ -233,23 +233,46 @@ def bench_tpu_stages(scene):
     if _remaining() < 150 or batch <= 1:
         return
     scenes = [scene] + [build_scene(seed=i) for i in range(1, batch)]
-    graph_b = jax.device_put(build_hierarchical_graph(scenes))
 
-    @jax.jit
-    def chain_b(params, graph, out):
-        x = graph.x.at[:, 0:3].add(out * 1e-6)
-        return model.apply({"params": params},
-                           dataclasses.replace(graph, x=x))
+    # Production batched layout is STACKED (serving.py): each scene keeps
+    # its own padded table with a leading scene axis and the forward is
+    # vmapped — concatenated tables measured a ~5.6x ELL-gather locality
+    # cliff at 4x size (BENCH_NOTES round-3 probe). Falls back to the
+    # concatenated layout if the scenes can't share a stacked signature.
+    layout = "stacked"
+    try:
+        from stinet_tpu.serving import SceneInpainter
+        server = SceneInpainter(model, params, geometric=False)
+        graph_b = server._build_stacked(scenes)
 
-    out_b = chain_b(params, graph_b,
-                    jnp.zeros((graph_b.x.shape[0], 3), graph_b.x.dtype))
+        @jax.jit
+        def chain_b(params, g, out):
+            x = g.x.at[:, :, 0:3].add(out * 1e-6)
+            return jax.vmap(
+                lambda p, gg: model.apply({"params": p}, gg),
+                in_axes=(None, 0))(params, dataclasses.replace(g, x=x))
+
+        out0 = jnp.zeros(graph_b.x.shape[:2] + (3,), graph_b.x.dtype)
+    except ValueError:
+        layout = "concat"
+        graph_b = jax.device_put(build_hierarchical_graph(scenes))
+
+        @jax.jit
+        def chain_b(params, graph, out):
+            x = graph.x.at[:, 0:3].add(out * 1e-6)
+            return model.apply({"params": params},
+                               dataclasses.replace(graph, x=x))
+
+        out0 = jnp.zeros((graph_b.x.shape[0], 3), graph_b.x.dtype)
+
+    out_b = chain_b(params, graph_b, out0)
     float(jnp.sum(out_b))
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out_b = chain_b(params, graph_b, out_b)
     float(jnp.sum(out_b))
     batch_dt = (time.perf_counter() - t0) / ITERS
-    yield {"batch_size": batch,
+    yield {"batch_size": batch, "batched_layout": layout,
            "batched_ms_per_dispatch": round(batch_dt * 1e3, 2),
            "batched_vertices_per_sec": round(batch * V / batch_dt, 1)}
 

@@ -15,11 +15,16 @@ of padded shapes for the compile cache to amortize across a traffic stream.
   * optional bandwidth-ordered (``windowed=True``) builds for the Pallas
     one-hot MXU kernel path (the bf16 production fast path; see
     stinet_tpu/ops/pallas/README.md for the dispatch caps);
-  * batched dispatch (B scenes in one program). NOTE the measured
-    locality cost of concatenated batching on 65k-vertex scenes
-    (BENCH_NOTES.md round-3 probe: the ELL gather runs ~1.4x slower per
-    vertex at 4x table size) — batching pays off for SMALL scenes where
-    per-dispatch overhead dominates, not for flagship-sized ones;
+  * batched dispatch (B scenes in one program) in two layouts:
+    ``stacked`` (default "auto") builds each scene as its OWN padded
+    graph, stacks the leaves to [B, ...] and vmaps the forward — every
+    gather stays inside a per-scene 65k-row table, so the per-scene cost
+    tracks the single-scene dispatch; ``concat`` collates all scenes into
+    one big graph (the trainer's layout). The round-3 device probe showed
+    why stacked is the serving default: at 4x concatenated table size the
+    ELL aggregate runs ~5.6x slower (gather-locality cliff, BENCH_NOTES
+    round-3 probe agg_b1 1.61 ms vs agg_b4 8.99 ms), while the
+    multi-graph norm path costs almost nothing;
   * ``warmup()`` to pay all compiles before serving traffic, and
     ``num_compiles()`` to watch for shape-ladder leaks in production;
   * ``export()`` — serialized StableHLO for a fixed shape
@@ -54,6 +59,13 @@ class SceneInpainter:
         self._widths = {}
         self._fwd = jax.jit(
             lambda p, g: self.model.apply({"params": p}, g))
+        # stacked-batch forward: params broadcast, graph leaves carry a
+        # leading scene axis. Each vmap element sees a single-scene graph
+        # (num_graphs=1), so norms take the cheap single-graph path and
+        # gathers stay inside per-scene tables.
+        self._vfwd = jax.jit(jax.vmap(
+            lambda p, g: self.model.apply({"params": p}, g),
+            in_axes=(None, 0)))
 
     # -- building ------------------------------------------------------
     def _build(self, scenes: Sequence[RawHierarchy]):
@@ -111,6 +123,16 @@ class SceneInpainter:
                     arr = np.asarray(getattr(es, f))
                     upd[f] = np.concatenate(
                         [arr, np.full(w - cur_e, trash, arr.dtype)])
+            if es.halo is not None:
+                # halo is a STATIC band bound (part of the treedef /
+                # compile signature); a larger bound stays correct, so
+                # normalizing onto the running max keeps same-bucket
+                # scenes with slightly different RCM bandwidths on one
+                # compiled signature (and lets stacked batches share a
+                # treedef).
+                h = grown((li, dk, "halo"), int(es.halo))
+                if h != es.halo:
+                    upd["halo"] = h
             return es.replace(**upd) if upd else es
 
         new_levels = []
@@ -137,6 +159,38 @@ class SceneInpainter:
         return graph.replace(levels=tuple(new_levels),
                              children=tuple(children))
 
+    def _build_stacked(self, scenes: Sequence[RawHierarchy]):
+        """Build each scene as its own padded single-scene graph and stack
+        the array leaves to [B, ...] for the vmapped forward.
+
+        Two normalization passes: the first grows the per-server running
+        maxima over all B scenes, the second pads the earlier scenes up to
+        the final maxima (idempotent once the maxima are stable). Raises
+        ValueError when the scenes cannot share one signature (different
+        vertex/edge buckets, or one scene's ELL table bailed to COO) —
+        callers fall back to the concatenated layout."""
+        graphs = [build_hierarchical_graph(
+            [s], pad_multiple=self.pad_multiple,
+            geometric=self.geometric, windowed=self.windowed)
+            for s in scenes]
+        graphs = [self._normalize_widths(g) for g in graphs]
+        graphs = [self._normalize_widths(g) for g in graphs]
+        ref = jax.tree_util.tree_structure(graphs[0])
+        for g in graphs[1:]:
+            if jax.tree_util.tree_structure(g) != ref:
+                raise ValueError(
+                    "scenes produce different graph treedefs (static halo "
+                    "or ELL/COO layout mismatch); use concatenated "
+                    "batching for this group")
+        try:
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]), *graphs)
+        except ValueError as e:
+            raise ValueError(
+                f"scenes land on different bucket shapes ({e}); group "
+                "same-bucket scenes or use concatenated batching") from e
+        return jax.device_put(stacked)
+
     # -- inference -----------------------------------------------------
     def predict(self, scene: RawHierarchy) -> np.ndarray:
         """Inpaint one scene; returns [num_vertices, output_nc] colors for
@@ -144,11 +198,27 @@ class SceneInpainter:
         out = self._fwd(self.params, self._build([scene]))
         return np.asarray(out[:scene.num_vertices[0]])
 
-    def predict_batch(self, scenes: Sequence[RawHierarchy]) \
-            -> List[np.ndarray]:
-        """One dispatch over B concatenated scenes; returns per-scene
-        valid-vertex colors. See the module docstring for when batching
-        actually wins."""
+    def predict_batch(self, scenes: Sequence[RawHierarchy], *,
+                      stacked="auto") -> List[np.ndarray]:
+        """One dispatch over B scenes; returns per-scene valid-vertex
+        colors.
+
+        stacked=True/"auto" uses the vmapped per-scene-table layout (the
+        fast path — see module docstring); "auto" silently falls back to
+        the concatenated layout when the scenes can't share a stacked
+        signature, stacked=False forces concatenation (the trainer's
+        layout, also what multi-graph norm semantics tests exercise)."""
+        if stacked:
+            try:
+                g = self._build_stacked(scenes)
+            except ValueError:
+                if stacked != "auto":
+                    raise
+                g = None
+            if g is not None:
+                out = np.asarray(self._vfwd(self.params, g))
+                return [out[i, :s.num_vertices[0]]
+                        for i, s in enumerate(scenes)]
         out = np.asarray(self._fwd(self.params, self._build(scenes)))
         results, off = [], 0
         for s in scenes:
@@ -159,19 +229,22 @@ class SceneInpainter:
 
     # -- operations ----------------------------------------------------
     def warmup(self, scenes: Sequence[RawHierarchy],
-               batch_sizes: Sequence[int] = (1,)):
+               batch_sizes: Sequence[int] = (1,), stacked="auto"):
         """Pay compilation for every bucket signature the given
         representative scenes produce, at each batch size."""
         for b in batch_sizes:
             for i in range(0, max(len(scenes) - b + 1, 1)):
                 chunk = list(scenes[i:i + b])
                 if len(chunk) == b:
-                    self._fwd(self.params, self._build(chunk))
+                    if b == 1:
+                        self.predict(chunk[0])
+                    else:
+                        self.predict_batch(chunk, stacked=stacked)
 
     def num_compiles(self) -> int:
         """Compiled-signature count — watch it plateau in production; a
         steady climb means the bucket ladder is leaking shapes."""
-        return int(self._fwd._cache_size())
+        return int(self._fwd._cache_size()) + int(self._vfwd._cache_size())
 
     def export(self, scene: RawHierarchy, out_path: str) -> str:
         """Serialize the forward at this scene's bucket signature to

@@ -53,6 +53,68 @@ def test_predict_batch_slices_per_scene(served):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_predict_batch_stacked_matches_concat(served):
+    """The vmapped stacked layout and the concatenated layout are two
+    dispatches of the same math: per-scene outputs must agree (norms are
+    per-graph in both layouts)."""
+    model, params, scene = served
+    server = SceneInpainter(model, params)
+    scenes = [scene, synthetic_scene(num_vertices=500, levels=3, seed=4)]
+    stacked = server.predict_batch(scenes, stacked=True)
+    concat = server.predict_batch(scenes, stacked=False)
+    for got, want in zip(stacked, concat):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_predict_batch_auto_falls_back_on_bucket_mismatch(served):
+    """Scenes on different vertex buckets can't share a stacked signature:
+    stacked=True raises, "auto" silently serves them concatenated."""
+    model, params, scene = served
+    server = SceneInpainter(model, params)
+    big = synthetic_scene(num_vertices=2500, levels=3, seed=5)
+    with pytest.raises(ValueError):
+        server.predict_batch([scene, big], stacked=True)
+    outs = server.predict_batch([scene, big], stacked="auto")
+    singles = [server.predict(s) for s in (scene, big)]
+    for got, want in zip(outs, singles):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_stacked_batch_single_compile_for_same_bucket(served):
+    """Same-bucket stacked batches converge onto one vmapped compilation:
+    the running-max width ladder may grow on early batches, but once every
+    scene's widths have been seen, repeat traffic hits the jit cache."""
+    model, params, _ = served
+    server = SceneInpainter(model, params)
+    mk = lambda seed: synthetic_scene(num_vertices=500, levels=3, seed=seed)
+    server.predict_batch([mk(6), mk(7)], stacked=True)
+    server.predict_batch([mk(8), mk(9)], stacked=True)
+    n0 = server.num_compiles()
+    server.predict_batch([mk(7), mk(9)], stacked=True)
+    assert server.num_compiles() == n0
+
+
+def test_windowed_halo_normalization(monkeypatch):
+    """Windowed builds carry a STATIC per-edge-set halo; the serving-side
+    running-max normalization must keep same-bucket scenes with different
+    RCM bandwidths on one treedef (stackable) without changing values."""
+    monkeypatch.setenv("STINET_WINDOWED_INTERPRET", "1")
+    model = _tiny_model()
+    scenes = [synthetic_scene(num_vertices=500, levels=3, seed=s)
+              for s in (10, 11)]
+    graph = build_hierarchical_graph([scenes[0]], windowed=True)
+    params = jax.jit(model.init)(jax.random.key(0), graph)["params"]
+    server = SceneInpainter(model, params, windowed=True)
+    singles = [server.predict(s) for s in scenes]
+    try:
+        batched = server.predict_batch(scenes, stacked=True)
+    except ValueError:
+        pytest.skip("scenes did not share a stacked windowed signature "
+                    "(ELL layout mismatch beyond halo)")
+    for got, want in zip(batched, singles):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_bucket_ladder_reuses_compilation(served):
     """Running-max width normalization: compiles while table widths grow,
     then plateaus — post-warmup traffic hits the jit cache."""
