@@ -51,6 +51,19 @@ class RawHierarchy:
 ELL_MAX_DEGREE = 64
 
 
+def _stable_argsort_int(keys: np.ndarray) -> np.ndarray:
+    """Stable argsort for non-negative int keys, ~3x faster than
+    np.argsort(kind="stable") (numpy's int radix sort loses to quicksort on
+    a composite key at graph-edge sizes; measured 97 ms vs 32 ms at E=393k).
+    Encodes (key, position) into one int64 so the default introsort is
+    stable by construction."""
+    n = keys.shape[0]
+    if n == 0:
+        return np.zeros(0, np.int64)
+    comp = keys.astype(np.int64) * n + np.arange(n, dtype=np.int64)
+    return np.argsort(comp)
+
+
 def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
                cap_quantile=0.97, max_spill_frac=0.25, window_halo=None):
     """Hybrid ELL(+spill) tables from the (dst-sorted) valid edges.
@@ -93,7 +106,10 @@ def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
     # run_start_ok[d] is that count at the first edge of d's run
     csum_ok = np.cumsum(win_ok) - win_ok
     run_start_ok = np.zeros(v_pad, np.int64)
-    uniq, first = np.unique(vd, return_index=True)
+    # vd is dst-sorted, so run firsts are just boundaries (np.unique would
+    # sort it again — measurable at graph-edge sizes)
+    first = np.flatnonzero(np.diff(vd, prepend=vd[0] - 1))
+    uniq = vd[first]
     run_start_ok[uniq] = csum_ok[first]
     slot = np.where(win_ok, csum_ok - run_start_ok[vd], d_cap)
     keep = win_ok & (slot < d_cap)
@@ -107,7 +123,7 @@ def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
     kidx = np.flatnonzero(keep)
     if len(kidx):
         kvs_k = vs[kidx]
-        order_k = np.argsort(kvs_k, kind="stable")
+        order_k = _stable_argsort_int(kvs_k)
         od_full = np.bincount(kvs_k, minlength=v_pad)
         indptr_k = np.zeros(v_pad + 1, np.int64)
         np.cumsum(od_full, out=indptr_k[1:])
@@ -127,7 +143,7 @@ def _build_ell(src, dst, e, v_pad, trash, max_deg=ELL_MAX_DEGREE,
     kvs, kvd = vs[keep], vd[keep]
     out_deg = np.bincount(kvs, minlength=v_pad)
     d_out = int(out_deg.max()) if len(kvs) else 1
-    order = np.argsort(kvs, kind="stable")
+    order = _stable_argsort_int(kvs)
     indptr_o = np.zeros(v_pad + 1, np.int64)
     np.cumsum(out_deg, out=indptr_o[1:])
     slot_o = np.arange(len(kvs)) - indptr_o[kvs[order]]
@@ -159,7 +175,7 @@ def _build_children(trace, num_valid_fine, coarse_pad, fine_trash,
     cmax = int(counts.max()) if num_valid_fine else 0
     if cmax == 0 or cmax > max_children:
         return None, None
-    order = np.argsort(tv, kind="stable")
+    order = _stable_argsort_int(tv)
     indptr = np.zeros(coarse_pad + 1, np.int64)
     np.cumsum(counts, out=indptr[1:])
     slot = np.arange(num_valid_fine) - indptr[tv[order]]
@@ -177,7 +193,7 @@ def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
     and, when the degree bound allows, the ELL/reverse fast-path tables
     (banded to `window_halo` when given)."""
     src, dst = np.asarray(edges[0]), np.asarray(edges[1])
-    order = np.argsort(dst, kind="stable")
+    order = _stable_argsort_int(dst)
     src, dst = src[order], dst[order]
     e = src.shape[0]
     assert e <= e_pad, f"edge bucket too small: {e} > {e_pad}"

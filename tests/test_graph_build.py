@@ -94,3 +94,18 @@ def test_grid_trace_2x2_replication():
     want = np.array([[0, 0, 1, 1], [0, 0, 1, 1],
                      [2, 2, 3, 3], [2, 2, 3, 3]])
     np.testing.assert_array_equal(tr, want)
+
+
+def test_stable_argsort_int_matches_numpy_stable(rng):
+    """The composite-key fast path must be a drop-in for
+    np.argsort(kind="stable") on non-negative int keys (ELL slot
+    assignment depends on stability)."""
+    from stinet_tpu.graph.build import _stable_argsort_int
+    for n, hi in ((0, 5), (1, 1), (257, 3), (4096, 64), (20000, 65536)):
+        keys = rng.integers(0, hi, size=n).astype(np.int64)
+        np.testing.assert_array_equal(
+            _stable_argsort_int(keys), np.argsort(keys, kind="stable"))
+    # int32 input and heavy duplication
+    keys = rng.integers(0, 2, size=9999).astype(np.int32)
+    np.testing.assert_array_equal(
+        _stable_argsort_int(keys), np.argsort(keys, kind="stable"))
