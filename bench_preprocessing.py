@@ -20,6 +20,7 @@ PREP_EXTENT (scene extent in meters, default 9.0).
 """
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -78,6 +79,45 @@ def main():
                     "on real ScanNet scans; this measures the rebuilt "
                     "pipeline on a synthetic ScanNet-scale terrain mesh",
         }}), flush=True)
+
+    # Serving-side graph build (RawHierarchy -> padded HierarchicalGraph):
+    # the host cost every scene pays before dispatch — at 65k vertices it
+    # dominates the ~8 ms device forward, so it IS serving throughput.
+    # Runs in a timeout-bounded subprocess: build_hierarchical_graph pulls
+    # in jax, whose import can hang when the axon TPU tunnel is wedged,
+    # and this bench must stay tunnel-independent.
+    code = r"""
+import json, time
+import jax; jax.config.update("jax_platforms", "cpu")
+from stinet_tpu.graph.build import build_hierarchical_graph
+from stinet_tpu.utils.synthetic import synthetic_scene
+scene = synthetic_scene(num_vertices=65536, levels=3, seed=0)
+out = {}
+for tag, kw in (("plain", {}), ("windowed", {"windowed": True})):
+    build_hierarchical_graph([scene], **kw)
+    t0 = time.perf_counter()
+    for _ in range(3):
+        build_hierarchical_graph([scene], **kw)
+    out[tag + "_build_ms"] = round((time.perf_counter() - t0) / 3 * 1e3, 1)
+print(json.dumps(out))
+"""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=600, cwd=os.path.dirname(os.path.abspath(__file__)),
+            env={**os.environ, "JAX_PLATFORMS": "cpu"})
+        build = json.loads(r.stdout.strip().splitlines()[-1]) \
+            if r.returncode == 0 and r.stdout.strip() else None
+    except (subprocess.TimeoutExpired, json.JSONDecodeError, ValueError):
+        build = None
+    print(json.dumps({
+        "metric": "serving_graph_build_ms_per_scene",
+        "value": build.get("plain_build_ms") if build else None,
+        "unit": "ms",
+        "detail": {"V": 65536, **(build or {"error": "build probe failed"}),
+                   "note": "host-side padded-graph construction per scene "
+                           "(argsort-optimized; serving is host-bound: "
+                           "device fwd ~8 ms)"}}), flush=True)
 
 
 if __name__ == "__main__":
