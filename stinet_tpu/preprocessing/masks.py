@@ -14,11 +14,16 @@ from scipy.sparse import csr_matrix
 from scipy.sparse.csgraph import dijkstra
 
 
-def bfs_hop_distances(edges: np.ndarray, num_vertices: int,
-                      seeds: np.ndarray, limit: float):
-    adj = csr_matrix(
+def _adjacency(edges: np.ndarray, num_vertices: int) -> csr_matrix:
+    return csr_matrix(
         (np.ones(edges.shape[1], np.int8), (edges[0], edges[1])),
         shape=(num_vertices, num_vertices))
+
+
+def bfs_hop_distances(edges: np.ndarray, num_vertices: int,
+                      seeds: np.ndarray, limit: float):
+    adj = edges if isinstance(edges, csr_matrix) \
+        else _adjacency(edges, num_vertices)
     return dijkstra(adj, directed=False, unweighted=True, indices=seeds,
                     limit=limit)
 
@@ -26,14 +31,21 @@ def bfs_hop_distances(edges: np.ndarray, num_vertices: int,
 def circle_mask(edges: np.ndarray, num_vertices: int, radius: int,
                 frac_masked: float, rng: np.random.Generator,
                 max_iters: int = 10000) -> np.ndarray:
-    """Vertex mask: 0 = observed, >0 = hop distance from nearest observed."""
+    """Vertex mask: 0 = observed, >0 = hop distance from nearest observed.
+
+    `edges` may be a [2, E] COO array or a prebuilt csr_matrix adjacency —
+    callers drawing many disks (one BFS per seed) should prebuild it once
+    (the CSR conversion is O(E log E) and used to dominate mask
+    generation when rebuilt per disk)."""
+    adj = edges if isinstance(edges, csr_matrix) \
+        else _adjacency(edges, num_vertices)
     mask = np.zeros(num_vertices, np.float32)
     target = frac_masked * num_vertices
     for _ in range(max_iters):
         if (mask > 0).sum() >= target:
             break
         seed = int(rng.integers(0, num_vertices))
-        dist = bfs_hop_distances(edges, num_vertices,
+        dist = bfs_hop_distances(adj, num_vertices,
                                  np.array([seed]), radius)[0]
         reach = np.isfinite(dist)
         update = np.zeros(num_vertices, np.float32)
@@ -60,8 +72,8 @@ def generate_masks_for_scene(scene_graph_path: str, mask_root: str,
     """Write masks/<mask_name>/<scene>/<i>.npz{vertex_mask} for the scene
     graph and project into crop graphs when given."""
     z = np.load(scene_graph_path)
-    edges = z["edges_0"]
     nv = z["vertices_0"].shape[0]
+    adj = _adjacency(z["edges_0"], nv)   # one CSR for all masks' disks
     scene = os.path.basename(scene_graph_path).replace(".npz", "")
     rng = np.random.default_rng(seed)
 
@@ -70,7 +82,7 @@ def generate_masks_for_scene(scene_graph_path: str, mask_root: str,
     attempts = 0
     while mask_id < num_masks and attempts < num_masks * 4:
         attempts += 1
-        mask = circle_mask(edges, nv, radius, frac_masked, rng)
+        mask = circle_mask(adj, nv, radius, frac_masked, rng)
         if (mask > 0).sum() < min_frac * nv:
             continue
         out_dir = os.path.join(mask_root, mask_name, scene)
