@@ -25,14 +25,20 @@ of padded shapes for the compile cache to amortize across a traffic stream.
     ELL aggregate runs ~5.6x slower (gather-locality cliff, BENCH_NOTES
     round-3 probe agg_b1 1.61 ms vs agg_b4 8.99 ms), while the
     multi-graph norm path costs almost nothing;
+  * ``predict_stream()`` — ordered streaming with threaded host builds
+    overlapped against device dispatch (serving is host-bound: ~0.3 s
+    padded-graph construction per 65k scene vs ~8 ms device forward);
   * ``warmup()`` to pay all compiles before serving traffic, and
     ``num_compiles()`` to watch for shape-ladder leaks in production;
   * ``export()`` — serialized StableHLO for a fixed shape
     (utils/model_io.py, the TorchScript-export analog).
 """
+import collections
+import concurrent.futures
 import dataclasses
 import json
-from typing import List, Optional, Sequence
+import threading
+from typing import Iterable, Iterator, List, Optional, Sequence
 
 import jax
 import numpy as np
@@ -55,8 +61,10 @@ class SceneInpainter:
         self.pad_multiple = pad_multiple
         self.geometric = geometric
         # running-max table widths per (level, edge-set, field): see
-        # _normalize_widths
+        # _normalize_widths. The lock makes width growth atomic under
+        # predict_stream's concurrent builds.
         self._widths = {}
+        self._width_lock = threading.Lock()
         self._fwd = jax.jit(
             lambda p, g: self.model.apply({"params": p}, g))
         # stacked-batch forward: params broadcast, graph leaves carry a
@@ -88,8 +96,9 @@ class SceneInpainter:
         the same way). Widths only grow, so the compile count is bounded
         by the number of distinct running-max states (plateaus fast)."""
         def grown(key, cur):
-            w = max(self._widths.get(key, 0), cur)
-            self._widths[key] = w
+            with self._width_lock:
+                w = max(self._widths.get(key, 0), cur)
+                self._widths[key] = w
             return w
 
         def norm_es(es, li, dk, trash):
@@ -226,6 +235,43 @@ class SceneInpainter:
             results.append(out[off:off + n])
             off += n
         return results
+
+    def predict_stream(self, scenes: Iterable[RawHierarchy],
+                       build_workers: int = 2) -> Iterator[np.ndarray]:
+        """Inpaint a stream of scenes, overlapping host-side graph builds
+        with device compute; yields per-scene valid-vertex colors in input
+        order.
+
+        Serving is HOST-bound: padded-graph construction costs ~0.3 s per
+        65k-vertex scene (numpy sorts/bincounts, which release the GIL)
+        against ~8 ms of device forward — so a thread pool of builders is
+        the throughput lever, and the device is kept trivially busy by a
+        single dispatcher. Early concurrent builds may land on different
+        running-max widths (an extra compile or two before the ladder
+        plateaus); values are unaffected."""
+        ex = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(build_workers, 1))
+        it = iter(scenes)
+        pending = collections.deque()
+
+        def submit_next():
+            s = next(it, None)
+            if s is not None:
+                pending.append((s, ex.submit(self._build, [s])))
+            return s is not None
+
+        try:
+            for _ in range(max(build_workers, 1) + 1):
+                if not submit_next():
+                    break
+            while pending:
+                s, fut = pending.popleft()
+                graph = fut.result()
+                out = self._fwd(self.params, graph)
+                submit_next()
+                yield np.asarray(out[:s.num_vertices[0]])
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
 
     # -- operations ----------------------------------------------------
     def warmup(self, scenes: Sequence[RawHierarchy],

@@ -115,6 +115,19 @@ def test_windowed_halo_normalization(monkeypatch):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_predict_stream_matches_predict_in_order(served):
+    """Threaded build pipelining must not change values or order."""
+    model, params, _ = served
+    server = SceneInpainter(model, params)
+    scenes = [synthetic_scene(num_vertices=500, levels=3, seed=s)
+              for s in (20, 21, 22, 23, 24)]
+    want = [SceneInpainter(model, params).predict(s) for s in scenes]
+    got = list(server.predict_stream(iter(scenes), build_workers=3))
+    assert len(got) == len(scenes)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
 def test_bucket_ladder_reuses_compilation(served):
     """Running-max width normalization: compiles while table widths grow,
     then plateaus — post-warmup traffic hits the jit cache."""
