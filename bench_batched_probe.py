@@ -110,25 +110,31 @@ def main():
     # tables with a leading scene axis — every gather stays inside its own
     # scene's table, dodging the concat-table locality cliff above.
     from stinet_tpu.serving import SceneInpainter
-    server = SceneInpainter(model, params, geometric=False)
-    gs = server._build_stacked(scenes)
+    try:
+        server = SceneInpainter(model, params, geometric=False)
+        gs = server._build_stacked(scenes)
 
-    @jax.jit
-    def vchain(params, g, out):
-        x = g.x.at[:, :, 0:3].add(out * 1e-6)
-        return jax.vmap(
-            lambda p, gg: model.apply({"params": p}, gg),
-            in_axes=(None, 0))(params, dataclasses.replace(g, x=x))
+        @jax.jit
+        def vchain(params, g, out):
+            x = g.x.at[:, :, 0:3].add(out * 1e-6)
+            return jax.vmap(
+                lambda p, gg: model.apply({"params": p}, gg),
+                in_axes=(None, 0))(params, dataclasses.replace(g, x=x))
 
-    out = vchain(params, gs, jnp.zeros(gs.x.shape[:2] + (3,), gs.x.dtype))
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = vchain(params, gs, out)
-    _sync(out)
-    acc["vfwd_b4_ms"] = round((time.perf_counter() - t0) / ITERS * 1e3, 2)
+        out = vchain(params, gs,
+                     jnp.zeros(gs.x.shape[:2] + (3,), gs.x.dtype))
+        _sync(out)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = vchain(params, gs, out)
+        _sync(out)
+        acc["vfwd_b4_ms"] = round(
+            (time.perf_counter() - t0) / ITERS * 1e3, 2)
+        del server, gs, out
+    except ValueError as e:   # scenes couldn't share a stacked signature
+        acc["vfwd_b4_ms"] = None
+        acc["vfwd_b4_error"] = str(e)[:120]
     emit()
-    del server, gs, out
 
     # matmul-reduce norm sums (w.T @ x instead of jnp.sum) — flag is read
     # at trace time, so toggling the env between fresh jits works here

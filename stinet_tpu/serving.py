@@ -46,6 +46,39 @@ import numpy as np
 from stinet_tpu.graph.build import RawHierarchy, build_hierarchical_graph
 
 
+def _unify_static_halos(graphs):
+    """Raise every edge set's static `halo` to the max across the batch so
+    stacked graphs share one treedef. A larger halo stays a correct band
+    bound (the windowed kernel's window covers any band <= halo). Mixing
+    None (no windowed table) with int halos on the same edge set cannot be
+    unified — left as-is so the caller's treedef check raises and falls
+    back to concatenation."""
+    def halo_of(g, li, dk):
+        es = g.levels[li].edges if dk == "base" else g.levels[li].dilated[dk]
+        return None if es is None else es.halo
+
+    out = []
+    keys = [(li, dk) for li, lev in enumerate(graphs[0].levels)
+            for dk in ["base", *lev.dilated.keys()]]
+    merged = {}
+    for k in keys:
+        halos = [halo_of(g, *k) for g in graphs]
+        if all(h is not None for h in halos):
+            merged[k] = max(halos)
+    for g in graphs:
+        new_levels = []
+        for li, lev in enumerate(g.levels):
+            edges = lev.edges
+            if (li, "base") in merged and edges is not None:
+                edges = edges.replace(halo=merged[(li, "base")])
+            dil = {d: (es.replace(halo=merged[(li, d)])
+                       if (li, d) in merged and es is not None else es)
+                   for d, es in lev.dilated.items()}
+            new_levels.append(lev.replace(edges=edges, dilated=dil))
+        out.append(g.replace(levels=tuple(new_levels)))
+    return out
+
+
 class SceneInpainter:
     """Serve `model.apply` over preprocessed scene hierarchies.
 
@@ -94,7 +127,10 @@ class SceneInpainter:
         carry zero features and are masked everywhere, so padded tables
         are semantically identical (the builder already pads ragged rows
         the same way). Widths only grow, so the compile count is bounded
-        by the number of distinct running-max states (plateaus fast)."""
+        by the number of distinct running-max states (plateaus fast).
+        Keys include the level's vertex bucket, so one flagship-sized
+        scene does not permanently inflate the table widths of every
+        smaller bucket the server also handles."""
         def grown(key, cur):
             with self._width_lock:
                 w = max(self._widths.get(key, 0), cur)
@@ -104,17 +140,18 @@ class SceneInpainter:
         def norm_es(es, li, dk, trash):
             if es is None or es.nbr is None:
                 return es
+            vb = trash + 1   # the level's vertex bucket (padded size)
             upd = {}
             for f in ("nbr", "rev_dst"):
                 arr = np.asarray(getattr(es, f))
-                w = grown((li, dk, f), arr.shape[1])
+                w = grown((li, dk, f, vb), arr.shape[1])
                 if w > arr.shape[1]:
                     upd[f] = np.concatenate(
                         [arr, np.full((arr.shape[0], w - arr.shape[1]),
                                       trash, arr.dtype)], axis=1)
             cur = (0 if es.spill_src is None
                    else int(es.spill_src.shape[0]))
-            w = grown((li, dk, "spill"), cur)
+            w = grown((li, dk, "spill", vb), cur)
             if w > cur:
                 # all-trash spill edges scatter onto the trash row, which
                 # is masked out — an empty-but-present spill unifies the
@@ -126,22 +163,12 @@ class SceneInpainter:
                     upd[f] = np.concatenate(
                         [base, np.full(w - cur, trash, np.int32)])
             cur_e = int(es.src.shape[0])
-            w = grown((li, dk, "edges"), cur_e)
+            w = grown((li, dk, "edges", vb), cur_e)
             if w > cur_e:
                 for f in ("src", "dst"):
                     arr = np.asarray(getattr(es, f))
                     upd[f] = np.concatenate(
                         [arr, np.full(w - cur_e, trash, arr.dtype)])
-            if es.halo is not None:
-                # halo is a STATIC band bound (part of the treedef /
-                # compile signature); a larger bound stays correct, so
-                # normalizing onto the running max keeps same-bucket
-                # scenes with slightly different RCM bandwidths on one
-                # compiled signature (and lets stacked batches share a
-                # treedef).
-                h = grown((li, dk, "halo"), int(es.halo))
-                if h != es.halo:
-                    upd["halo"] = h
             return es.replace(**upd) if upd else es
 
         new_levels = []
@@ -159,7 +186,8 @@ class SceneInpainter:
                 continue
             arr = np.asarray(ch)
             fine_trash = int(graph.levels[l].graph_id.shape[0]) - 1
-            w = grown((l, "children", "w"), arr.shape[1])
+            w = grown((l, "children", arr.shape[0], fine_trash + 1),
+                      arr.shape[1])
             if w > arr.shape[1]:
                 arr = np.concatenate(
                     [arr, np.full((arr.shape[0], w - arr.shape[1]),
@@ -172,18 +200,28 @@ class SceneInpainter:
         """Build each scene as its own padded single-scene graph and stack
         the array leaves to [B, ...] for the vmapped forward.
 
-        Two normalization passes: the first grows the per-server running
-        maxima over all B scenes, the second pads the earlier scenes up to
-        the final maxima (idempotent once the maxima are stable). Raises
+        Builds run on a thread pool (host builds dominate: ~0.3 s/scene
+        against ~10 ms of batched device forward; numpy's sorts release
+        the GIL). Two normalization passes: the first grows the
+        per-server running maxima over all B scenes, the second pads the
+        earlier scenes up to the final maxima (idempotent once the maxima
+        are stable). Windowed builds' static halos are unified to the
+        batch max (NOT ratcheted across batches: a permanently grown halo
+        would silently push later scenes past the windowed-kernel
+        dispatch caps and widen their streamed windows). Raises
         ValueError when the scenes cannot share one signature (different
         vertex/edge buckets, or one scene's ELL table bailed to COO) —
         callers fall back to the concatenated layout."""
-        graphs = [build_hierarchical_graph(
-            [s], pad_multiple=self.pad_multiple,
-            geometric=self.geometric, windowed=self.windowed)
-            for s in scenes]
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=min(len(scenes), 8)) as ex:
+            graphs = list(ex.map(
+                lambda s: build_hierarchical_graph(
+                    [s], pad_multiple=self.pad_multiple,
+                    geometric=self.geometric, windowed=self.windowed),
+                scenes))
         graphs = [self._normalize_widths(g) for g in graphs]
         graphs = [self._normalize_widths(g) for g in graphs]
+        graphs = _unify_static_halos(graphs)
         ref = jax.tree_util.tree_structure(graphs[0])
         for g in graphs[1:]:
             if jax.tree_util.tree_structure(g) != ref:
@@ -253,12 +291,13 @@ class SceneInpainter:
             max_workers=max(build_workers, 1))
         it = iter(scenes)
         pending = collections.deque()
+        _end = object()   # None is a caller bug, not end-of-stream
 
         def submit_next():
-            s = next(it, None)
-            if s is not None:
+            s = next(it, _end)
+            if s is not _end:
                 pending.append((s, ex.submit(self._build, [s])))
-            return s is not None
+            return s is not _end
 
         try:
             for _ in range(max(build_workers, 1) + 1):
@@ -277,7 +316,11 @@ class SceneInpainter:
     def warmup(self, scenes: Sequence[RawHierarchy],
                batch_sizes: Sequence[int] = (1,), stacked="auto"):
         """Pay compilation for every bucket signature the given
-        representative scenes produce, at each batch size."""
+        representative scenes produce, at each batch size. For batched
+        sizes with stacked enabled, the concatenated layout is ALSO
+        warmed: "auto" traffic falls back to it when a group's scenes
+        can't share a stacked signature, and that fallback must not pay
+        a multi-second compile inside a live request."""
         for b in batch_sizes:
             for i in range(0, max(len(scenes) - b + 1, 1)):
                 chunk = list(scenes[i:i + b])
@@ -286,6 +329,8 @@ class SceneInpainter:
                         self.predict(chunk[0])
                     else:
                         self.predict_batch(chunk, stacked=stacked)
+                        if stacked:
+                            self.predict_batch(chunk, stacked=False)
 
     def num_compiles(self) -> int:
         """Compiled-signature count — watch it plateau in production; a

@@ -94,10 +94,33 @@ def test_stacked_batch_single_compile_for_same_bucket(served):
     assert server.num_compiles() == n0
 
 
-def test_windowed_halo_normalization(monkeypatch):
-    """Windowed builds carry a STATIC per-edge-set halo; the serving-side
-    running-max normalization must keep same-bucket scenes with different
-    RCM bandwidths on one treedef (stackable) without changing values."""
+def test_unify_static_halos_takes_batch_max():
+    """Static halos are unified to the BATCH max (one treedef for
+    stacking) — and only per batch, never ratcheted into server state
+    (a permanently grown halo would push later scenes past the windowed
+    dispatch caps)."""
+    from stinet_tpu.serving import _unify_static_halos
+    scene = synthetic_scene(num_vertices=500, levels=3, seed=10)
+    ga = build_hierarchical_graph([scene], windowed=True)
+    h0 = ga.levels[0].edges.halo
+    assert h0 is not None
+    # simulate a narrower-band same-bucket scene: same tables, smaller
+    # declared halo (the unified max restores a valid bound)
+    lv0 = ga.levels[0]
+    gb = ga.replace(levels=(
+        lv0.replace(edges=lv0.edges.replace(halo=max(h0 // 2, 1))),
+        *ga.levels[1:]))
+    out = _unify_static_halos([ga, gb])
+    assert out[0].levels[0].edges.halo == h0
+    assert out[1].levels[0].edges.halo == h0
+    assert (jax.tree_util.tree_structure(out[0])
+            == jax.tree_util.tree_structure(out[1]))
+
+
+def test_windowed_stacked_batch_matches_singles(monkeypatch):
+    """Windowed stacked batching end-to-end: per-batch halo unification
+    must produce one treedef and unchanged values vs single-scene
+    dispatch (halo is a band BOUND; larger stays correct)."""
     monkeypatch.setenv("STINET_WINDOWED_INTERPRET", "1")
     model = _tiny_model()
     scenes = [synthetic_scene(num_vertices=500, levels=3, seed=s)
@@ -106,11 +129,7 @@ def test_windowed_halo_normalization(monkeypatch):
     params = jax.jit(model.init)(jax.random.key(0), graph)["params"]
     server = SceneInpainter(model, params, windowed=True)
     singles = [server.predict(s) for s in scenes]
-    try:
-        batched = server.predict_batch(scenes, stacked=True)
-    except ValueError:
-        pytest.skip("scenes did not share a stacked windowed signature "
-                    "(ELL layout mismatch beyond halo)")
+    batched = server.predict_batch(scenes, stacked=True)
     for got, want in zip(batched, singles):
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
