@@ -87,12 +87,26 @@ class SceneInpainter:
     """
 
     def __init__(self, model, params, *, windowed: bool = False,
-                 pad_multiple: int = 128, geometric: bool = True):
+                 pad_multiple: int = 128, geometric: bool = True,
+                 mesh=None):
         self.model = model
-        self.params = jax.device_put(params)
         self.windowed = windowed
         self.pad_multiple = pad_multiple
         self.geometric = geometric
+        # data-parallel serving: with a jax.sharding.Mesh, stacked batches
+        # are sharded over the mesh's first axis (one or more scenes per
+        # device — the stacked layout is embarrassingly parallel, so GSPMD
+        # inserts no cross-device collectives) and params are replicated.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._scene_sharding = NamedSharding(
+                mesh, PartitionSpec(mesh.axis_names[0]))
+            self._replicated = NamedSharding(mesh, PartitionSpec())
+            self.params = jax.device_put(params, self._replicated)
+        else:
+            self._scene_sharding = self._replicated = None
+            self.params = jax.device_put(params)
         # running-max table widths per (level, edge-set, field): see
         # _normalize_widths. The lock makes width growth atomic under
         # predict_stream's concurrent builds.
@@ -110,10 +124,12 @@ class SceneInpainter:
 
     # -- building ------------------------------------------------------
     def _build(self, scenes: Sequence[RawHierarchy]):
-        graph = build_hierarchical_graph(
+        graph = self._normalize_widths(build_hierarchical_graph(
             list(scenes), pad_multiple=self.pad_multiple,
-            geometric=self.geometric, windowed=self.windowed)
-        return jax.device_put(self._normalize_widths(graph))
+            geometric=self.geometric, windowed=self.windowed))
+        if self.mesh is not None:
+            return jax.device_put(graph, self._replicated)
+        return jax.device_put(graph)
 
     def _normalize_widths(self, graph):
         """Pad the data-dependent table dims onto per-server running
@@ -236,6 +252,13 @@ class SceneInpainter:
             raise ValueError(
                 f"scenes land on different bucket shapes ({e}); group "
                 "same-bucket scenes or use concatenated batching") from e
+        if self.mesh is not None \
+                and len(graphs) % self.mesh.shape[self.mesh.axis_names[0]] \
+                == 0:
+            # every leaf carries the leading scene axis: shard it over the
+            # mesh's data axis (callers pad B to a multiple — predict_batch
+            # does)
+            return jax.device_put(stacked, self._scene_sharding)
         return jax.device_put(stacked)
 
     # -- inference -----------------------------------------------------
@@ -254,10 +277,18 @@ class SceneInpainter:
         fast path — see module docstring); "auto" silently falls back to
         the concatenated layout when the scenes can't share a stacked
         signature, stacked=False forces concatenation (the trainer's
-        layout, also what multi-graph norm semantics tests exercise)."""
+        layout, also what multi-graph norm semantics tests exercise).
+        On a mesh server the stacked batch is padded (by repeating the
+        last scene) to a multiple of the data-axis size and sharded one+
+        scene per device; padding outputs are dropped."""
         if stacked:
+            build_list = list(scenes)
+            if self.mesh is not None:
+                n_data = self.mesh.shape[self.mesh.axis_names[0]]
+                build_list += [build_list[-1]] * ((-len(build_list))
+                                                  % n_data)
             try:
-                g = self._build_stacked(scenes)
+                g = self._build_stacked(build_list)
             except ValueError:
                 if stacked != "auto":
                     raise

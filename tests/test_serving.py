@@ -147,6 +147,28 @@ def test_predict_stream_matches_predict_in_order(served):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
 
 
+def test_mesh_data_parallel_stacked_serving(served):
+    """Stacked batches shard one+ scene per device over a mesh's data
+    axis (embarrassingly parallel — no collectives) and must match the
+    single-device server, including non-divisible B (padded by repeating
+    the last scene, padding outputs dropped)."""
+    from stinet_tpu.parallel.mesh import make_mesh
+    model, params, scene = served
+    mesh = make_mesh(4)
+    server = SceneInpainter(model, params, mesh=mesh)
+    single = SceneInpainter(model, params)
+    scenes = [scene] + [synthetic_scene(num_vertices=500, levels=3, seed=s)
+                        for s in (30, 31)]   # B=3 on a 4-device axis
+    got = server.predict_batch(scenes, stacked=True)
+    want = [single.predict(s) for s in scenes]
+    assert len(got) == 3
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-4)
+    # single-scene predict on a mesh server stays correct (replicated)
+    np.testing.assert_allclose(server.predict(scene), want[0],
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_bucket_ladder_reuses_compilation(served):
     """Running-max width normalization: compiles while table widths grow,
     then plateaus — post-warmup traffic hits the jit cache."""
