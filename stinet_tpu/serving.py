@@ -28,6 +28,10 @@ of padded shapes for the compile cache to amortize across a traffic stream.
   * ``predict_stream()`` — ordered streaming with threaded host builds
     overlapped against device dispatch (serving is host-bound: ~0.3 s
     padded-graph construction per 65k scene vs ~8 ms device forward);
+  * data-parallel serving over a ``jax.sharding.Mesh`` (``mesh=``):
+    stacked batches shard one+ scene per device along the mesh's data
+    axis — embarrassingly parallel, no collectives, throughput scales
+    with chips;
   * ``warmup()`` to pay all compiles before serving traffic, and
     ``num_compiles()`` to watch for shape-ladder leaks in production;
   * ``export()`` — serialized StableHLO for a fixed shape
