@@ -61,7 +61,7 @@ def main():
     server = SceneInpainter(model, params, mesh=mesh)
 
     print("warmup (pays all compiles)...")
-    server.warmup(scenes[:2], batch_sizes=(1, 2))
+    server.warmup(scenes[:4], batch_sizes=(1, 4))   # the sizes served below
     print(f"compiled signatures: {server.num_compiles()}")
 
     t0 = time.perf_counter()

@@ -216,7 +216,8 @@ class SceneInpainter:
         return graph.replace(levels=tuple(new_levels),
                              children=tuple(children))
 
-    def _build_stacked(self, scenes: Sequence[RawHierarchy]):
+    def _build_stacked(self, scenes: Sequence[RawHierarchy],
+                       pad_multiple_of: int = 1):
         """Build each scene as its own padded single-scene graph and stack
         the array leaves to [B, ...] for the vmapped forward.
 
@@ -241,6 +242,9 @@ class SceneInpainter:
                 scenes))
         graphs = [self._normalize_widths(g) for g in graphs]
         graphs = [self._normalize_widths(g) for g in graphs]
+        # mesh batch padding duplicates the last BUILT graph (a host
+        # rebuild per padding slot would cost ~0.3 s each)
+        graphs += [graphs[-1]] * ((-len(graphs)) % max(pad_multiple_of, 1))
         graphs = _unify_static_halos(graphs)
         ref = jax.tree_util.tree_structure(graphs[0])
         for g in graphs[1:]:
@@ -285,14 +289,13 @@ class SceneInpainter:
         On a mesh server the stacked batch is padded (by repeating the
         last scene) to a multiple of the data-axis size and sharded one+
         scene per device; padding outputs are dropped."""
+        if not scenes:
+            return []
         if stacked:
-            build_list = list(scenes)
-            if self.mesh is not None:
-                n_data = self.mesh.shape[self.mesh.axis_names[0]]
-                build_list += [build_list[-1]] * ((-len(build_list))
-                                                  % n_data)
+            n_data = (self.mesh.shape[self.mesh.axis_names[0]]
+                      if self.mesh is not None else 1)
             try:
-                g = self._build_stacked(build_list)
+                g = self._build_stacked(scenes, pad_multiple_of=n_data)
             except ValueError:
                 if stacked != "auto":
                     raise
@@ -374,11 +377,21 @@ class SceneInpainter:
 
     def export(self, scene: RawHierarchy, out_path: str) -> str:
         """Serialize the forward at this scene's bucket signature to
-        StableHLO (callable later without model code, utils/model_io.py)."""
+        StableHLO (callable later without model code, utils/model_io.py).
+
+        Inputs and params are re-placed WITHOUT the serving mesh:
+        jax.export bakes the participating device count into the
+        artifact, and an export from a 4-chip server must stay loadable
+        in a single-chip process."""
         from stinet_tpu.utils.model_io import export_serving
-        graph = self._build([scene])
+        graph = jax.device_put(self._normalize_widths(
+            build_hierarchical_graph(
+                [scene], pad_multiple=self.pad_multiple,
+                geometric=self.geometric, windowed=self.windowed)))
+        params = jax.device_put(
+            jax.tree_util.tree_map(np.asarray, self.params))
         return export_serving(
-            lambda g: self.model.apply({"params": self.params}, g),
+            lambda g: self.model.apply({"params": params}, g),
             (graph,), out_path)
 
     # -- construction --------------------------------------------------
@@ -401,6 +414,11 @@ class SceneInpainter:
         server = cls(model, {}, **kw)
         graph = server._build([example_scene])
         template = jax.jit(model.init)(jax.random.key(0), graph)["params"]
-        server.params = jax.device_put(
-            load_model_params(ckpt_path, arch_key, template))
+        restored = load_model_params(ckpt_path, arch_key, template)
+        # keep the mesh replication __init__ set up — a plain device_put
+        # here would leave uncommitted single-device params that every
+        # sharded dispatch re-replicates across the mesh
+        server.params = (jax.device_put(restored, server._replicated)
+                         if server.mesh is not None
+                         else jax.device_put(restored))
         return server

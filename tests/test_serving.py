@@ -169,6 +169,26 @@ def test_mesh_data_parallel_stacked_serving(served):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_export_from_mesh_server_is_single_device(served, tmp_path):
+    """jax.export bakes the participating device count into the artifact;
+    an export from a mesh server must stay callable in a single-device
+    context (the fix re-places params/inputs without the mesh)."""
+    from stinet_tpu.parallel.mesh import make_mesh
+    from stinet_tpu.utils.model_io import load_serving
+    model, params, scene = served
+    server = SceneInpainter(model, params, mesh=make_mesh(4))
+    path = server.export(scene, str(tmp_path / "fwd_mesh.stablehlo"))
+    fn = load_serving(path)
+    graph = jax.device_put(server._normalize_widths(
+        build_hierarchical_graph([scene], pad_multiple=server.pad_multiple,
+                                 geometric=server.geometric)))
+    out = fn(graph)
+    got = np.asarray(out[0] if isinstance(out, (list, tuple)) else out)
+    n = scene.num_vertices[0]
+    np.testing.assert_allclose(got[:n], server.predict(scene),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_bucket_ladder_reuses_compilation(served):
     """Running-max width normalization: compiles while table widths grow,
     then plateaus — post-warmup traffic hits the jit cache."""
