@@ -111,6 +111,7 @@ class SceneInpainter:
         else:
             self._scene_sharding = self._replicated = None
             self.params = jax.device_put(params)
+        self._sharded_apply = None   # lazy: predict_partitioned
         # running-max table widths per (level, edge-set, field): see
         # _normalize_widths. The lock makes width growth atomic under
         # predict_stream's concurrent builds.
@@ -311,6 +312,30 @@ class SceneInpainter:
             results.append(out[off:off + n])
             off += n
         return results
+
+    def predict_partitioned(self, scene: RawHierarchy) -> np.ndarray:
+        """Serve ONE full (uncropped) scene partitioned across the mesh's
+        data axis — vertices split by coarsest-level ownership, per-layer
+        ring halo exchanges (parallel/sharded_stinet.py) — the scale-out
+        path for scenes too large for a single chip's HBM. The reference
+        has no such path: it crops scenes offline
+        (crop_training_samples.py) and asserts single-GPU
+        (inpainting3d_trainer.py:25). Requires a mesh server and the
+        flagship instance-norm config; returns [num_vertices, output_nc]
+        in the scene's original vertex order."""
+        if self.mesh is None:
+            raise ValueError("predict_partitioned requires mesh=...")
+        from stinet_tpu.graph.partition import partition_hierarchy
+        from stinet_tpu.parallel.sharded_stinet import (
+            make_sharded_stinet, place_partitioned)
+        axis = self.mesh.axis_names[0]
+        pg, info = partition_hierarchy(scene, self.mesh.shape[axis])
+        pg = place_partitioned(self.mesh, pg, axis)
+        if self._sharded_apply is None:
+            self._sharded_apply = jax.jit(
+                make_sharded_stinet(self.mesh, self.model, axis))
+        out = np.asarray(self._sharded_apply(self.params, pg))
+        return out[info.new_id[0]]
 
     def predict_stream(self, scenes: Iterable[RawHierarchy],
                        build_workers: int = 2) -> Iterator[np.ndarray]:

@@ -169,6 +169,20 @@ def test_mesh_data_parallel_stacked_serving(served):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_predict_partitioned_matches_single_device(served):
+    """Full-scene halo-partitioned serving across the mesh must match the
+    single-device forward in the scene's original vertex order."""
+    from stinet_tpu.parallel.mesh import make_mesh
+    model, params, scene = served
+    server = SceneInpainter(model, params, mesh=make_mesh(4))
+    got = server.predict_partitioned(scene)
+    want = SceneInpainter(model, params).predict(scene)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    with pytest.raises(ValueError):
+        SceneInpainter(model, params).predict_partitioned(scene)
+
+
 def test_export_from_mesh_server_is_single_device(served, tmp_path):
     """jax.export bakes the participating device count into the artifact;
     an export from a mesh server must stay callable in a single-device
