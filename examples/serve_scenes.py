@@ -79,6 +79,13 @@ def main():
     print(f"predict_stream: {n} scenes in {dt:.3f}s "
           f"({n / dt:.2f} scenes/s, host-build-bound)")
 
+    if mesh is not None:
+        t0 = time.perf_counter()
+        out = server.predict_partitioned(scenes[0])
+        print(f"predict_partitioned (1 scene over {args.mesh} devices, "
+              f"ring halo exchanges): {out.shape} in "
+              f"{time.perf_counter() - t0:.3f}s")
+
 
 if __name__ == "__main__":
     main()

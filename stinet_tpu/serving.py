@@ -32,6 +32,10 @@ of padded shapes for the compile cache to amortize across a traffic stream.
     stacked batches shard one+ scene per device along the mesh's data
     axis — embarrassingly parallel, no collectives, throughput scales
     with chips;
+  * ``predict_partitioned()`` — ONE full uncropped scene split across
+    the mesh with per-layer ring halo exchanges (the scale-out path for
+    scenes beyond a single chip's HBM; the reference crops offline
+    instead);
   * ``warmup()`` to pay all compiles before serving traffic, and
     ``num_compiles()`` to watch for shape-ladder leaks in production;
   * ``export()`` — serialized StableHLO for a fixed shape
