@@ -20,5 +20,8 @@ native:
 	g++ -O3 -shared -fPIC -std=c++17 \
 	    stinet_tpu/preprocessing/native/decimator.cpp \
 	    -o stinet_tpu/preprocessing/native/libdecimator.so
+	g++ -O3 -shared -fPIC -std=c++17 \
+	    stinet_tpu/graph/native/graph_builder.cpp \
+	    -o stinet_tpu/graph/native/libgraph_builder.so
 
 .PHONY: test test-fast bench demo dryrun native

@@ -116,8 +116,8 @@ print(json.dumps(out))
         "unit": "ms",
         "detail": {"V": 65536, **(build or {"error": "build probe failed"}),
                    "note": "host-side padded-graph construction per scene "
-                           "(argsort-optimized; serving is host-bound: "
-                           "device fwd ~8 ms)"}}), flush=True)
+                           "(native C++ builder, graph/native; device fwd "
+                           "~8 ms)"}}), flush=True)
 
 
 if __name__ == "__main__":

@@ -7,11 +7,13 @@ device world: graphs are batched by concatenation with vertex-offset shifts
 XLA compiles once per bucket rather than once per scene.
 """
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from stinet_tpu.graph.hierarchy import EdgeSet, GraphLevel, HierarchicalGraph
+from stinet_tpu.graph import native as _native
 
 
 def bucket_size(n: int, multiple: int = 128, geometric: bool = False,
@@ -170,6 +172,9 @@ def _build_children(trace, num_valid_fine, coarse_pad, fine_trash,
     gather-only pooling. Only valid fine rows contribute (pad rows trace to
     the coarse trash vertex and are excluded). Returns (children [Vc, C],
     counts [Vc]) or (None, None) when a cluster exceeds max_children."""
+    if num_valid_fine > 0 and _native.available():
+        return _native.build_children_table(
+            trace, num_valid_fine, coarse_pad, fine_trash, max_children)
     tv = trace[:num_valid_fine].astype(np.int64)
     counts = np.bincount(tv, minlength=coarse_pad)
     cmax = int(counts.max()) if num_valid_fine else 0
@@ -191,8 +196,21 @@ def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
     """Sort a [2, E] COO edge array by destination and pad to e_pad with
     trash self-edges. Precomputes the valid in-degree per (padded) vertex
     and, when the degree bound allows, the ELL/reverse fast-path tables
-    (banded to `window_halo` when given)."""
+    (banded to `window_halo` when given).
+
+    Dispatches to the native C++ builder (graph/native/graph_builder.cpp, a
+    bit-for-bit twin, ~10x faster at ScanNet-scale edge counts) when the
+    library is available; ``STINET_NATIVE_BUILD=0`` forces this numpy path.
+    """
     src, dst = np.asarray(edges[0]), np.asarray(edges[1])
+    assert src.shape[0] <= e_pad, \
+        f"edge bucket too small: {src.shape[0]} > {e_pad}"
+    if src.shape[0] > 0 and _native.available():
+        fields = _native.build_edge_set_tables(
+            src, dst, e_pad, trash, v_pad, ell_max_degree, cap_quantile,
+            max_spill_frac=0.25, window_halo=window_halo,
+            bucket=bucket_size)
+        return EdgeSet(**fields)
     order = _stable_argsort_int(dst)
     src, dst = src[order], dst[order]
     e = src.shape[0]
@@ -220,18 +238,26 @@ def reorder_bandwidth(sample: RawHierarchy) -> RawHierarchy:
     """Permute every level's vertices by reverse-Cuthill-McKee so edges
     become banded (|src - dst| small), enabling the windowed one-hot MXU
     aggregation kernel (ops/pallas/onehot_gather.py). Pure relabeling: the
-    graph, features, traces and dilated edge sets are equivalent."""
-    from scipy.sparse import csr_matrix
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    graph, features, traces and dilated edge sets are equivalent.
 
+    The ordering itself comes from the native RCM (graph/native) when
+    available; the scipy fallback computes the same classic algorithm
+    (tie-breaks may differ — both are pure relabelings, and `_auto_halo`
+    re-derives the band from whatever ordering was achieved)."""
     perms = []      # perms[l][new_id] = old_id
     newids = []     # newids[l][old_id] = new_id
+    use_native = _native.available()
     for l, nv in enumerate(sample.num_vertices):
         e = sample.level_edges[l]
-        ones = np.ones(e.shape[1], np.int8)
-        adj = csr_matrix((ones, (e[0], e[1])), shape=(nv, nv))
-        order = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=False),
-                           np.int64)
+        if use_native:
+            order = _native.rcm_order(e, nv).astype(np.int64)
+        else:
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            ones = np.ones(e.shape[1], np.int8)
+            adj = csr_matrix((ones, (e[0], e[1])), shape=(nv, nv))
+            order = np.asarray(
+                reverse_cuthill_mckee(adj, symmetric_mode=False), np.int64)
         inv = np.empty(nv, np.int64)
         inv[order] = np.arange(nv)
         perms.append(order)
@@ -310,6 +336,10 @@ def build_hierarchical_graph(
     edge set's ELL tables are banded to an auto-chosen halo (band quantile;
     out-of-band edges spill to COO), enabling the windowed one-hot MXU
     aggregation kernel on TPU.
+
+    The per-edge-set table builds are independent and run on a thread pool
+    (the native builder releases the GIL for the duration of the C call);
+    ``STINET_BUILD_WORKERS=1`` forces sequential builds.
     """
     if windowed:
         samples = [reorder_bandwidth(s) for s in samples]
@@ -327,9 +357,10 @@ def build_hierarchical_graph(
     if v_buckets is None:
         v_buckets = [bucket_size(int(t) + 1, pad_multiple, geometric)
                      for t in totals]
-    levels = []
-    traces = []
-    children = []
+    # Stage 1 (sequential, concat-bound): assemble every edge-set task.
+    # tasks[key] = (edges, e_pad, trash, v_pad, halo); key = (level, dist)
+    # with dist=None for the level's base edge set.
+    tasks = {}
     for l in range(num_levels):
         v_pad = int(v_buckets[l])
         assert v_pad > totals[l], "vertex bucket must exceed valid count"
@@ -342,11 +373,8 @@ def build_hierarchical_graph(
                  else bucket_size(edges.shape[1], pad_multiple, geometric))
         halo = (_auto_halo(edges, v_pad, window_quantile)
                 if windowed else None)
-        edge_set = _pad_edge_set(edges, e_pad, trash, v_pad,
-                                 cap_quantile=ell_cap_quantile,
-                                 window_halo=halo)
+        tasks[(l, None)] = (edges, e_pad, trash, v_pad, halo)
 
-        dil = {}
         all_dists = sorted({d for s in samples for d in s.dilated.get(l, {})})
         for dist in all_dists:
             de = np.concatenate(
@@ -355,16 +383,41 @@ def build_hierarchical_graph(
             de_pad = bucket_size(de.shape[1], pad_multiple, geometric)
             dhalo = (_auto_halo(de, v_pad, window_quantile)
                      if windowed else None)
-            dil[int(dist)] = _pad_edge_set(de, de_pad, trash, v_pad,
-                                           cap_quantile=ell_cap_quantile,
-                                           window_halo=dhalo)
+            tasks[(l, int(dist))] = (de, de_pad, trash, v_pad, dhalo)
+
+    # Stage 2 (parallel): build the padded tables. Each task is a pure
+    # function of its own arrays, so thread timing cannot affect results.
+    def _run(t):
+        edges, e_pad, trash, v_pad, halo = t
+        return _pad_edge_set(edges, e_pad, trash, v_pad,
+                             cap_quantile=ell_cap_quantile,
+                             window_halo=halo)
+
+    w_env = os.environ.get("STINET_BUILD_WORKERS")
+    nw = int(w_env) if w_env else min(len(tasks), os.cpu_count() or 4)
+    if nw <= 1 or len(tasks) <= 1:
+        built = {k: _run(t) for k, t in tasks.items()}
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            futs = {k: pool.submit(_run, t) for k, t in tasks.items()}
+            built = {k: f.result() for k, f in futs.items()}
+
+    # Stage 3 (sequential): assemble levels, traces, children.
+    levels = []
+    traces = []
+    children = []
+    for l in range(num_levels):
+        v_pad = int(v_buckets[l])
+        dil = {d: built[(ll, d)] for (ll, d) in built
+               if ll == l and d is not None}
 
         graph_id = np.full(v_pad, num_graphs, dtype=np.int32)
         for g in range(num_graphs):
             graph_id[offsets[l, g]:offsets[l, g + 1]] = g
 
         levels.append(GraphLevel(
-            edges=edge_set,
+            edges=built[(l, None)],
             num_vertices=np.int32(totals[l]),
             graph_id=graph_id,
             dilated=dil,
