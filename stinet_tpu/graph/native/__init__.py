@@ -61,6 +61,12 @@ def get_lib():
             _p_i32, _i64, _i64, ctypes.c_int32, _i64, _p_i32, _p_f32]
         lib.rcm_order.restype = None
         lib.rcm_order.argtypes = [_p_i64, _p_i64, _i64, _i64, _p_i32]
+        lib.adj_build.restype = ctypes.c_void_p
+        lib.adj_build.argtypes = [_p_i64, _p_i64, _i64, _i64]
+        lib.adj_disk_update.restype = _i64
+        lib.adj_disk_update.argtypes = [ctypes.c_void_p, _i64, _i64, _p_f32]
+        lib.adj_free.restype = None
+        lib.adj_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -141,6 +147,34 @@ def rcm_order(edges: np.ndarray, n: int) -> np.ndarray:
     lib.rcm_order(_ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
                   src.shape[0], n, _ptr(out, ctypes.c_int32))
     return out
+
+
+class Adjacency:
+    """Reusable symmetrized-CSR adjacency over the native handle, for
+    repeated bounded-BFS disk updates (preprocessing/masks.py). The handle
+    owns per-BFS scratch, so one instance serves many disks cheaply."""
+
+    def __init__(self, edges: np.ndarray, num_vertices: int):
+        self._lib = get_lib()
+        src = np.ascontiguousarray(edges[0], dtype=np.int64)
+        dst = np.ascontiguousarray(edges[1], dtype=np.int64)
+        self.num_vertices = int(num_vertices)
+        self._h = self._lib.adj_build(
+            _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
+            src.shape[0], self.num_vertices)
+
+    def disk_update(self, seed: int, radius: int, mask: np.ndarray) -> int:
+        """mask[v] = max(mask[v], radius - hopdist(seed, v)) in place;
+        returns how many entries went 0 -> positive."""
+        assert mask.dtype == np.float32 and mask.flags.c_contiguous
+        assert mask.shape == (self.num_vertices,)
+        return int(self._lib.adj_disk_update(
+            self._h, int(seed), int(radius), _ptr(mask, ctypes.c_float)))
+
+    def __del__(self):
+        if getattr(self, "_h", None) and self._lib is not None:
+            self._lib.adj_free(self._h)
+            self._h = None
 
 
 def build_children_table(trace: np.ndarray, num_valid_fine: int,

@@ -328,6 +328,84 @@ int64_t build_children(const int32_t* trace, int64_t num_valid_fine,
   return cmax;
 }
 
+// ---------------------------------------------------------------------------
+// Reusable symmetrized-CSR adjacency handle + bounded-hop BFS disk update,
+// the hot primitive of geodesic-disk mask generation
+// (preprocessing/masks.py:circle_mask). The BFS touches only the disk
+// (O(disk) per seed vs scipy dijkstra's O(N) dist allocation per call) and
+// updates the mask in place with max(mask, radius - hopdist), returning how
+// many vertices transitioned 0 -> positive so the Python loop can keep its
+// exact masked-count accounting without an O(N) rescan per disk.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Adj {
+  int64_t n = 0;
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> indices;
+  // per-BFS scratch, reused across calls (stamped, never cleared)
+  std::vector<int64_t> stamp;
+  int64_t cur_stamp = 0;
+  std::vector<int32_t> frontier, next;
+};
+
+}  // namespace
+
+void* adj_build(const int64_t* src, const int64_t* dst, int64_t e,
+                int64_t n) {
+  Adj* A = new Adj();
+  A->n = n;
+  A->indptr.assign(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) {
+    A->indptr[src[i] + 1]++;
+    A->indptr[dst[i] + 1]++;
+  }
+  for (int64_t v = 0; v < n; ++v) A->indptr[v + 1] += A->indptr[v];
+  A->indices.resize(2 * e);
+  std::vector<int64_t> pos(A->indptr.begin(), A->indptr.end() - 1);
+  for (int64_t i = 0; i < e; ++i) {
+    A->indices[pos[src[i]]++] = static_cast<int32_t>(dst[i]);
+    A->indices[pos[dst[i]]++] = static_cast<int32_t>(src[i]);
+  }
+  A->stamp.assign(n, 0);
+  A->cur_stamp = 0;
+  return A;
+}
+
+// BFS from `seed` to hop depth < radius; mask[v] = max(mask[v],
+// radius - hopdist(v)). Returns the count of vertices whose mask went from
+// 0 to positive (scipy-dijkstra-parity: hop distance == unweighted
+// shortest path; dist == radius contributes update 0 and is skipped).
+int64_t adj_disk_update(void* h, int64_t seed, int64_t radius, float* mask) {
+  Adj* A = static_cast<Adj*>(h);
+  if (seed < 0 || seed >= A->n || radius <= 0) return 0;
+  int64_t newly = 0;
+  const int64_t s = ++A->cur_stamp;
+  A->frontier.clear();
+  A->frontier.push_back(static_cast<int32_t>(seed));
+  A->stamp[seed] = s;
+  for (int64_t depth = 0; depth < radius && !A->frontier.empty(); ++depth) {
+    const float val = static_cast<float>(radius - depth);
+    A->next.clear();
+    for (int32_t v : A->frontier) {
+      if (mask[v] == 0.f) newly++;
+      if (val > mask[v]) mask[v] = val;
+      for (int64_t i = A->indptr[v]; i < A->indptr[v + 1]; ++i) {
+        int32_t u = A->indices[i];
+        if (A->stamp[u] != s) {
+          A->stamp[u] = s;
+          A->next.push_back(u);
+        }
+      }
+    }
+    A->frontier.swap(A->next);
+  }
+  return newly;
+}
+
+void adj_free(void* h) { delete static_cast<Adj*>(h); }
+
 // Reverse Cuthill-McKee ordering of the symmetrized graph (A + A^T), the
 // classic algorithm scipy.sparse.csgraph.reverse_cuthill_mckee implements:
 // per connected component, seed at the minimum-degree unvisited vertex, BFS

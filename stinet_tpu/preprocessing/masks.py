@@ -13,6 +13,8 @@ import numpy as np
 from scipy.sparse import csr_matrix
 from scipy.sparse.csgraph import dijkstra
 
+from stinet_tpu.graph import native as _graph_native
+
 
 def _adjacency(edges: np.ndarray, num_vertices: int) -> csr_matrix:
     return csr_matrix(
@@ -28,15 +30,28 @@ def bfs_hop_distances(edges: np.ndarray, num_vertices: int,
                     limit=limit)
 
 
-def circle_mask(edges: np.ndarray, num_vertices: int, radius: int,
+def circle_mask(edges, num_vertices: int, radius: int,
                 frac_masked: float, rng: np.random.Generator,
                 max_iters: int = 10000) -> np.ndarray:
     """Vertex mask: 0 = observed, >0 = hop distance from nearest observed.
 
-    `edges` may be a [2, E] COO array or a prebuilt csr_matrix adjacency —
-    callers drawing many disks (one BFS per seed) should prebuild it once
-    (the CSR conversion is O(E log E) and used to dominate mask
-    generation when rebuilt per disk)."""
+    `edges` may be a [2, E] COO array, a prebuilt csr_matrix adjacency, or
+    a native `graph.native.Adjacency` — callers drawing many disks (one
+    BFS per seed) should prebuild one of the latter. The native handle is
+    the fast path: its bounded BFS touches only the disk and keeps the
+    masked count incrementally (O(disk) per seed vs scipy dijkstra's O(N)
+    per-call dist array), producing bit-identical masks (same rng draws,
+    same hop metric)."""
+    if isinstance(edges, _graph_native.Adjacency):
+        mask = np.zeros(num_vertices, np.float32)
+        target = frac_masked * num_vertices
+        masked = 0
+        for _ in range(max_iters):
+            if masked >= target:
+                break
+            seed = int(rng.integers(0, num_vertices))
+            masked += edges.disk_update(seed, radius, mask)
+        return mask
     adj = edges if isinstance(edges, csr_matrix) \
         else _adjacency(edges, num_vertices)
     mask = np.zeros(num_vertices, np.float32)
@@ -73,7 +88,10 @@ def generate_masks_for_scene(scene_graph_path: str, mask_root: str,
     graph and project into crop graphs when given."""
     z = np.load(scene_graph_path)
     nv = z["vertices_0"].shape[0]
-    adj = _adjacency(z["edges_0"], nv)   # one CSR for all masks' disks
+    # one adjacency for all masks' disks (native bounded-BFS handle when
+    # available; scipy CSR otherwise)
+    adj = (_graph_native.Adjacency(z["edges_0"], nv)
+           if _graph_native.available() else _adjacency(z["edges_0"], nv))
     scene = os.path.basename(scene_graph_path).replace(".npz", "")
     rng = np.random.default_rng(seed)
 

@@ -166,3 +166,21 @@ def test_children_overflow_falls_back():
     trace = np.zeros(300, np.int32)  # one cluster of 300 > max_children
     a = B._build_children(trace, 300, 64, 63)
     assert a == (None, None)
+
+
+def test_circle_mask_native_parity():
+    """The native bounded-BFS disk path must produce bit-identical masks to
+    the scipy dijkstra path: same rng consumption (loop exits after the
+    same number of draws) and same hop-distance values."""
+    from stinet_tpu.preprocessing.masks import circle_mask, _adjacency
+
+    scene = synthetic_scene(3000, seed=5)
+    e, nv = scene.level_edges[0], scene.num_vertices[0]
+    for radius, frac, seed in ((4, 0.15, 0), (8, 0.4, 1), (2, 0.05, 2)):
+        m_sp = circle_mask(_adjacency(e, nv), nv, radius, frac,
+                           np.random.default_rng(seed))
+        m_nat = circle_mask(native.Adjacency(e, nv), nv, radius, frac,
+                            np.random.default_rng(seed))
+        np.testing.assert_array_equal(m_sp, m_nat)
+        assert m_nat.dtype == np.float32
+        assert (m_nat > 0).mean() >= frac * 0.9
