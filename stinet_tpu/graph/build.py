@@ -214,10 +214,9 @@ def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
     order = _stable_argsort_int(dst)
     src, dst = src[order], dst[order]
     e = src.shape[0]
-    assert e <= e_pad, f"edge bucket too small: {e} > {e_pad}"
     ell = _build_ell(src, dst, e, v_pad, trash, ell_max_degree,
                      cap_quantile=cap_quantile, window_halo=window_halo)
-    pad = e_pad - e
+    pad = e_pad - e  # >= 0: asserted above before the native dispatch
     src = np.concatenate([src, np.full(pad, trash, dtype=np.int64)])
     dst = np.concatenate([dst, np.full(pad, trash, dtype=np.int64)])
     degree = np.bincount(edges[1], minlength=v_pad).astype(np.float32)

@@ -17,6 +17,7 @@ _SRC = os.path.join(_DIR, "graph_builder.cpp")
 _LIB = os.path.join(_DIR, "libgraph_builder.so")
 
 _lib = None
+_lib_failed = False
 _lib_lock = threading.Lock()
 _i64 = ctypes.c_int64
 _p_i64 = ctypes.POINTER(ctypes.c_int64)
@@ -25,24 +26,40 @@ _p_f32 = ctypes.POINTER(ctypes.c_float)
 
 
 def _build_lib():
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # compile to a unique temp path then os.replace: concurrent builders
+    # (preprocessing process pool) each produce a complete .so and the
+    # rename is atomic — a half-written library can never land at _LIB
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def get_lib():
-    """Load (compiling if stale) the shared library; None if unavailable."""
-    global _lib
+    """Load (compiling if stale) the shared library; None if unavailable.
+    A failed compile is cached so the numpy fallback doesn't pay a g++
+    subprocess spawn per call."""
+    global _lib, _lib_failed
     if _lib is not None:
         return _lib
+    if _lib_failed:
+        return None
     with _lib_lock:
         if _lib is not None:
             return _lib
+        if _lib_failed:
+            return None
         try:
             if (not os.path.exists(_LIB)
                     or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
                 _build_lib()
             lib = ctypes.CDLL(_LIB)
         except (OSError, subprocess.CalledProcessError):
+            _lib_failed = True
             return None
         lib.edge_set_build.restype = ctypes.c_void_p
         lib.edge_set_build.argtypes = [
@@ -59,7 +76,7 @@ def get_lib():
         lib.build_children.restype = _i64
         lib.build_children.argtypes = [
             _p_i32, _i64, _i64, ctypes.c_int32, _i64, _p_i32, _p_f32]
-        lib.rcm_order.restype = None
+        lib.rcm_order.restype = ctypes.c_int
         lib.rcm_order.argtypes = [_p_i64, _p_i64, _i64, _i64, _p_i32]
         lib.adj_build.restype = ctypes.c_void_p
         lib.adj_build.argtypes = [_p_i64, _p_i64, _i64, _i64]
@@ -95,6 +112,10 @@ def build_edge_set_tables(src64: np.ndarray, dst64: np.ndarray, e_pad: int,
     h = lib.edge_set_build(
         _ptr(src64, ctypes.c_int64), _ptr(dst64, ctypes.c_int64), e,
         v_pad, trash, max_deg, cap_quantile, max_spill_frac, halo)
+    if not h:
+        raise ValueError(
+            f"edge ids out of range [0, {v_pad}) in native edge-set build "
+            f"(corrupted graph data?)")
     try:
         sizes = np.zeros(4, np.int64)
         lib.edge_set_sizes(h, _ptr(sizes, ctypes.c_int64))
@@ -144,8 +165,12 @@ def rcm_order(edges: np.ndarray, n: int) -> np.ndarray:
     src = np.ascontiguousarray(edges[0], dtype=np.int64)
     dst = np.ascontiguousarray(edges[1], dtype=np.int64)
     out = np.empty(n, np.int32)
-    lib.rcm_order(_ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
-                  src.shape[0], n, _ptr(out, ctypes.c_int32))
+    rc = lib.rcm_order(_ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
+                       src.shape[0], n, _ptr(out, ctypes.c_int32))
+    if rc != 0:
+        raise ValueError(
+            f"edge ids out of range [0, {n}) in native RCM "
+            f"(corrupted graph data?)")
     return out
 
 
@@ -155,13 +180,22 @@ class Adjacency:
     owns per-BFS scratch, so one instance serves many disks cheaply."""
 
     def __init__(self, edges: np.ndarray, num_vertices: int):
+        self._h = None
         self._lib = get_lib()
+        if self._lib is None:
+            raise RuntimeError(
+                "native graph builder unavailable (no g++ / compile "
+                "failed); use the scipy adjacency path instead")
         src = np.ascontiguousarray(edges[0], dtype=np.int64)
         dst = np.ascontiguousarray(edges[1], dtype=np.int64)
         self.num_vertices = int(num_vertices)
         self._h = self._lib.adj_build(
             _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64),
             src.shape[0], self.num_vertices)
+        if not self._h:
+            raise ValueError(
+                f"edge ids out of range [0, {num_vertices}) in adjacency "
+                f"(corrupted graph data?)")
 
     def disk_update(self, seed: int, radius: int, mask: np.ndarray) -> int:
         """mask[v] = max(mask[v], radius - hopdist(seed, v)) in place;
@@ -189,7 +223,11 @@ def build_children_table(trace: np.ndarray, num_valid_fine: int,
         _ptr(tr, ctypes.c_int32), num_valid_fine, coarse_pad, fine_trash,
         max_children, _ptr(children, ctypes.c_int32),
         _ptr(counts, ctypes.c_float)))
-    if cmax <= 0 or cmax > max_children:
+    if cmax < 0:
+        raise ValueError(
+            f"trace values out of range [0, {coarse_pad}) in native "
+            f"children build (corrupted trace data?)")
+    if cmax == 0 or cmax > max_children:
         return None, None
     # row stride in the C buffer is cmax: reshape a trimmed copy
     flat = children.reshape(-1)[:coarse_pad * cmax]

@@ -89,6 +89,12 @@ void* edge_set_build(const int64_t* src_in, const int64_t* dst_in, int64_t e,
                      int64_t v_pad, int32_t trash, int32_t max_deg,
                      double cap_quantile, double max_spill_frac,
                      int64_t window_halo) {
+  // loud validation: file-sourced edge ids out of [0, v_pad) must raise in
+  // Python (matching numpy's bincount/scatter errors), not corrupt the heap
+  for (int64_t i = 0; i < e; ++i)
+    if (src_in[i] < 0 || src_in[i] >= v_pad || dst_in[i] < 0 ||
+        dst_in[i] >= v_pad)
+      return nullptr;
   Built* B = new Built();
   B->e = e;
   B->v_pad = v_pad;
@@ -185,24 +191,20 @@ void* edge_set_build(const int64_t* src_in, const int64_t* dst_in, int64_t e,
   // spill to COO (stable-by-src rank == occurrence order in dst order)
   {
     std::vector<int64_t> sc(v_pad, 0);
-    bool overflowed = false;
     for (int64_t i = 0; i < e; ++i)
       if (keep[i]) {
-        if (sc[vs[i]] >= max_deg) {
+        if (sc[vs[i]] >= max_deg)
           keep[i] = 0;
-          overflowed = true;
-        } else {
+        else
           sc[vs[i]]++;
-        }
       }
-    if (overflowed) {
-      // receiver slots re-pack so `slot < ell_degree` stays contiguous
-      // (recomputation is implicit below: slots are re-derived from keep)
-    }
   }
 
-  // fill nbr / ell_degree (slots re-derived from the final keep mask, which
-  // matches numpy's csum_k - run_start_k re-pack)
+  // fill nbr / ell_degree; receiver slots are re-derived from the FINAL
+  // keep mask, which equals numpy's conditional csum_k - run_start_k
+  // re-pack in both cases (no sender overflow: kept edges are a per-run
+  // prefix of the in-window edges, so ranks coincide; overflow: numpy
+  // recomputes exactly this)
   B->has_ell = true;
   B->d_cap = d_cap;
   B->nbr.assign(v_pad * d_cap, trash);
@@ -354,6 +356,9 @@ struct Adj {
 
 void* adj_build(const int64_t* src, const int64_t* dst, int64_t e,
                 int64_t n) {
+  for (int64_t i = 0; i < e; ++i)
+    if (src[i] < 0 || src[i] >= n || dst[i] < 0 || dst[i] >= n)
+      return nullptr;  // loud ValueError in Python, not heap corruption
   Adj* A = new Adj();
   A->n = n;
   A->indptr.assign(n + 1, 0);
@@ -412,9 +417,12 @@ void adj_free(void* h) { delete static_cast<Adj*>(h); }
 // appending unvisited neighbors in increasing-degree order, then reverse
 // the whole sequence. order_out[new_id] = old_id (scipy's contract; exact
 // tie-breaks may differ from scipy — any bandwidth-reducing relabeling is
-// equivalent, see build.py:reorder_bandwidth).
-void rcm_order(const int64_t* src, const int64_t* dst, int64_t e, int64_t n,
-               int32_t* order_out) {
+// equivalent, see build.py:reorder_bandwidth). Returns 0, or -1 on
+// out-of-range edge ids (loud error in Python).
+int rcm_order(const int64_t* src, const int64_t* dst, int64_t e, int64_t n,
+              int32_t* order_out) {
+  for (int64_t i = 0; i < e; ++i)
+    if (src[i] < 0 || src[i] >= n || dst[i] < 0 || dst[i] >= n) return -1;
   // CSR of the symmetrized graph with per-row dedup
   std::vector<int64_t> cnt(n + 1, 0);
   for (int64_t i = 0; i < e; ++i) {
@@ -450,20 +458,30 @@ void rcm_order(const int64_t* src, const int64_t* dst, int64_t e, int64_t n,
     deg[v] = u - b;
   }
 
+  // vertices in increasing-degree order (counting sort): component seeding
+  // walks this list once overall, so fragmented graphs (many components)
+  // stay O(n + e) instead of O(n * components)
+  std::vector<int32_t> by_deg(n);
+  {
+    int64_t dmax = 0;
+    for (int64_t v = 0; v < n; ++v)
+      if (deg[v] > dmax) dmax = deg[v];
+    std::vector<int64_t> dc(dmax + 2, 0);
+    for (int64_t v = 0; v < n; ++v) dc[deg[v] + 1]++;
+    for (int64_t d = 0; d <= dmax; ++d) dc[d + 1] += dc[d];
+    for (int64_t v = 0; v < n; ++v)
+      by_deg[dc[deg[v]]++] = static_cast<int32_t>(v);
+  }
+
   std::vector<uint8_t> visited(n, 0);
   std::vector<int32_t> order;
   order.reserve(n);
   std::vector<int32_t> nbrs;
-  int64_t scan_from = 0;
+  int64_t seed_cursor = 0;
   while (static_cast<int64_t>(order.size()) < n) {
     // component seed: minimum-degree unvisited vertex
-    int64_t seed = -1, best = -1;
-    while (scan_from < n && visited[scan_from]) scan_from++;
-    for (int64_t v = scan_from; v < n; ++v)
-      if (!visited[v] && (best < 0 || deg[v] < best)) {
-        best = deg[v];
-        seed = v;
-      }
+    while (visited[by_deg[seed_cursor]]) seed_cursor++;
+    int64_t seed = by_deg[seed_cursor];
     visited[seed] = 1;
     order.push_back(static_cast<int32_t>(seed));
     for (size_t head = order.size() - 1; head < order.size(); ++head) {
@@ -488,6 +506,7 @@ void rcm_order(const int64_t* src, const int64_t* dst, int64_t e, int64_t n,
     }
   }
   for (int64_t i = 0; i < n; ++i) order_out[i] = order[n - 1 - i];
+  return 0;
 }
 
 }  // extern "C"

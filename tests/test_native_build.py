@@ -168,6 +168,33 @@ def test_children_overflow_falls_back():
     assert a == (None, None)
 
 
+def test_out_of_range_ids_raise():
+    """Corrupted (out-of-range) edge/trace ids must raise loudly from the
+    native paths, never scatter out of bounds or silently degrade."""
+    bad = np.array([[0, 5000], [1, 2]])  # src 5000 >= v_pad
+    with pytest.raises(ValueError, match="out of range"):
+        B._pad_edge_set(bad, 128, 127, 128)
+    with pytest.raises(ValueError, match="out of range"):
+        native.rcm_order(bad, 128)
+    with pytest.raises(ValueError, match="out of range"):
+        native.Adjacency(bad, 128)
+    with pytest.raises(ValueError, match="out of range"):
+        trace = np.array([0, 1, 300], np.int32)  # 300 >= coarse_pad
+        native.build_children_table(trace, 3, 256, 255)
+
+
+def test_fragmented_rcm_is_fast():
+    """Many tiny components (isolated vertices) must not trigger the
+    O(n * components) seed rescan: 50k singletons in well under a second."""
+    import time
+    n = 50000
+    e = np.array([[0], [1]])  # one edge; the rest isolated
+    t0 = time.perf_counter()
+    order = native.rcm_order(e, n)
+    assert time.perf_counter() - t0 < 1.0
+    assert np.array_equal(np.sort(order), np.arange(n))
+
+
 def test_circle_mask_native_parity():
     """The native bounded-BFS disk path must produce bit-identical masks to
     the scipy dijkstra path: same rng consumption (loop exits after the
