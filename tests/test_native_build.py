@@ -168,6 +168,23 @@ def test_children_overflow_falls_back():
     assert a == (None, None)
 
 
+def test_threaded_build_parity(monkeypatch):
+    """Forced thread-pool fan-out (STINET_BUILD_WORKERS=6) must produce the
+    same graph as sequential builds — this host may have 1 CPU (pool never
+    engages by default), but multi-core serving hosts take this path."""
+    import jax
+    scenes = [synthetic_scene(2500, seed=s) for s in range(2)]
+    monkeypatch.setenv("STINET_BUILD_WORKERS", "1")
+    g_seq = B.build_hierarchical_graph(scenes)
+    monkeypatch.setenv("STINET_BUILD_WORKERS", "6")
+    g_par = B.build_hierarchical_graph(scenes)
+    la, ta = jax.tree_util.tree_flatten(g_seq)
+    lb, tb = jax.tree_util.tree_flatten(g_par)
+    assert ta == tb
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_out_of_range_ids_raise():
     """Corrupted (out-of-range) edge/trace ids must raise loudly from the
     native paths, never scatter out of bounds or silently degrade."""
