@@ -22,11 +22,9 @@ def get_sampling_positions(positions: np.ndarray, block_size: float,
     return [np.array([x, y]) for x in xs for y in ys]
 
 
-def _crop_level(verts, edges, keep_mask):
-    """Filter vertices by mask, keep internal edges, drop isolated vertices,
-    remap ids. Returns (vert_idx_kept, remapped_edges, old_to_new)."""
-    nv = len(verts)
-    internal = keep_mask[edges[0]] & keep_mask[edges[1]]
+def _crop_level(nv, edges, internal):
+    """Keep `internal` edges, drop isolated vertices, remap ids.
+    Returns (vert_idx_kept, remapped_edges, old_to_new)."""
     e = edges[:, internal]
     used = np.zeros(nv, bool)
     used[e.reshape(-1)] = True
@@ -36,24 +34,39 @@ def _crop_level(verts, edges, keep_mask):
     return kept, old_to_new[e], old_to_new
 
 
+def _edge_bounds(verts, edges):
+    """Per-edge xy bounding boxes ([E] exlo/exhi/eylo/eyhi), precomputed
+    once per scene so each crop position tests edges with four vectorized
+    compares instead of two V-sized mask gathers (the gathers dominated
+    process_scene_crops: ~0.3 s/position at ScanNet scale)."""
+    x0, x1 = verts[edges[0], 0], verts[edges[1], 0]
+    y0, y1 = verts[edges[0], 1], verts[edges[1], 1]
+    return (np.minimum(x0, x1), np.maximum(x0, x1),
+            np.minimum(y0, y1), np.maximum(y0, y1))
+
+
 def crop_scene(scene_npz: Dict[str, np.ndarray], origin_xy: np.ndarray,
                block_size: float, num_levels: int,
                dilation_dists: Sequence[int] = (),
-               min_coarse_vertices: int = MIN_COARSE_VERTICES):
-    """Produce one crop dict (same npz schema as graph_levels) or None."""
+               min_coarse_vertices: int = MIN_COARSE_VERTICES,
+               edge_bounds=None):
+    """Produce one crop dict (same npz schema as graph_levels) or None.
+    `edge_bounds` (per-level `_edge_bounds` tuples) amortizes the edge box
+    tests across the crop grid; computed on the fly when absent."""
     out = {"num_levels": num_levels,
            "dilation_dists": np.asarray(list(dilation_dists), np.int64)}
     kept_per_level = []
     maps = []
+    ox, oy = float(origin_xy[0]), float(origin_xy[1])
     for l in range(num_levels):
         verts = scene_npz[f"vertices_{l}"]
         edges = scene_npz[f"edges_{l}"]
-        pos = verts[:, 0:2]
-        keep = ((pos[:, 0] >= origin_xy[0])
-                & (pos[:, 0] <= origin_xy[0] + block_size)
-                & (pos[:, 1] >= origin_xy[1])
-                & (pos[:, 1] <= origin_xy[1] + block_size))
-        kept, e, old_to_new = _crop_level(verts, edges, keep)
+        exlo, exhi, eylo, eyhi = (edge_bounds[l] if edge_bounds is not None
+                                  else _edge_bounds(verts, edges))
+        # both endpoints inside the box <=> the edge bbox is inside it
+        internal = ((exlo >= ox) & (exhi <= ox + block_size)
+                    & (eylo >= oy) & (eyhi <= oy + block_size))
+        kept, e, old_to_new = _crop_level(len(verts), edges, internal)
         if len(kept) == 0:
             return None
         out[f"vertices_{l}"] = verts[kept]
@@ -109,11 +122,14 @@ def process_scene_crops(scene_graph_path: str, out_dir: str,
     os.makedirs(os.path.join(out_dir, "graphs"), exist_ok=True)
     positions = get_sampling_positions(z["vertices_0"][:, 0:2],
                                        block_size, stride)
+    bounds = [_edge_bounds(z[f"vertices_{l}"], z[f"edges_{l}"])
+              for l in range(num_levels)]
     written = []
     for i, origin in enumerate(positions):
         try:
             crop = crop_scene(z, origin, block_size, num_levels,
-                              dilation_dists, min_coarse_vertices)
+                              dilation_dists, min_coarse_vertices,
+                              edge_bounds=bounds)
         except ValueError:
             continue
         if crop is None:
