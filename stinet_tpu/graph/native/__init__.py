@@ -84,6 +84,8 @@ def get_lib():
         lib.adj_disk_update.argtypes = [ctypes.c_void_p, _i64, _i64, _p_f32]
         lib.adj_free.restype = None
         lib.adj_free.argtypes = [ctypes.c_void_p]
+        lib.edges_from_faces.restype = _i64
+        lib.edges_from_faces.argtypes = [_p_i64, _i64, _i64, _p_i64, _p_i64]
         _lib = lib
         return lib
 
@@ -172,6 +174,24 @@ def rcm_order(edges: np.ndarray, n: int) -> np.ndarray:
             f"edge ids out of range [0, {n}) in native RCM "
             f"(corrupted graph data?)")
     return out
+
+
+def edges_from_faces(faces: np.ndarray, num_vertices: int) -> np.ndarray:
+    """Native twin of preprocessing.graph_levels.edges_from_faces: directed
+    deduped [2, E] edges in exactly the numpy path's first-occurrence
+    order (hash dedup, O(F) vs the composite-key sort's O(F log F))."""
+    lib = get_lib()
+    f = np.ascontiguousarray(faces, dtype=np.int64)
+    nf = f.shape[0]
+    src = np.empty(6 * nf, np.int64)
+    dst = np.empty(6 * nf, np.int64)
+    e = int(lib.edges_from_faces(
+        _ptr(f, ctypes.c_int64), nf, num_vertices,
+        _ptr(src, ctypes.c_int64), _ptr(dst, ctypes.c_int64)))
+    if e < 0:
+        raise ValueError(
+            f"face ids out of range [0, {num_vertices}) (corrupted mesh?)")
+    return np.stack([src[:e], dst[:e]])
 
 
 class Adjacency:

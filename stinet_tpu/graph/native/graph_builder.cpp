@@ -509,4 +509,49 @@ int rcm_order(const int64_t* src, const int64_t* dst, int64_t e, int64_t n,
   return 0;
 }
 
+// Directed deduped edge list from triangle faces, preserving the numpy
+// reference order exactly (graph_levels.py:edges_from_faces): the candidate
+// sequence is [f01 | f12 | f20 | f10 | f21 | f02] with self-loops dropped,
+// deduped to FIRST occurrence (np.unique(key, return_index) + sort(uniq)).
+// Order preservation matters: downstream ELL slot assignment follows input
+// order, and f32 neighbor-sum rounding depends on it. Hash-set dedup makes
+// this O(F) instead of the numpy path's O(F log F) composite-key sort.
+// Returns E (<= 6*nf); out_src/out_dst must hold 6*nf entries. Returns -1
+// on face ids outside [0, nv).
+int64_t edges_from_faces(const int64_t* faces, int64_t nf, int64_t nv,
+                         int64_t* out_src, int64_t* out_dst) {
+  for (int64_t i = 0; i < 3 * nf; ++i)
+    if (faces[i] < 0 || faces[i] >= nv) return -1;
+  // open-addressing hash set of src*nv+dst keys
+  uint64_t cap = 64;
+  while (cap < static_cast<uint64_t>(12 * nf + 16)) cap <<= 1;
+  std::vector<int64_t> table(cap, -1);
+  const uint64_t mask = cap - 1;
+  int64_t e = 0;
+  auto try_add = [&](int64_t s, int64_t d) {
+    if (s == d) return;
+    const int64_t key = s * nv + d;
+    // splitmix64-style scramble for probe start
+    uint64_t h = static_cast<uint64_t>(key) * 0x9E3779B97F4A7C15ull;
+    h ^= h >> 31;
+    uint64_t p = h & mask;
+    while (table[p] != -1) {
+      if (table[p] == key) return;
+      p = (p + 1) & mask;
+    }
+    table[p] = key;
+    out_src[e] = s;
+    out_dst[e] = d;
+    e++;
+  };
+  // numpy candidate order: f01, f12, f20, then the reversed blocks
+  for (int64_t i = 0; i < nf; ++i) try_add(faces[3 * i], faces[3 * i + 1]);
+  for (int64_t i = 0; i < nf; ++i) try_add(faces[3 * i + 1], faces[3 * i + 2]);
+  for (int64_t i = 0; i < nf; ++i) try_add(faces[3 * i + 2], faces[3 * i]);
+  for (int64_t i = 0; i < nf; ++i) try_add(faces[3 * i + 1], faces[3 * i]);
+  for (int64_t i = 0; i < nf; ++i) try_add(faces[3 * i + 2], faces[3 * i + 1]);
+  for (int64_t i = 0; i < nf; ++i) try_add(faces[3 * i], faces[3 * i + 2]);
+  return e;
+}
+
 }  // extern "C"

@@ -21,6 +21,7 @@ from scipy.spatial import cKDTree
 from stinet_tpu.preprocessing import native
 from stinet_tpu.preprocessing.dilation import compute_all_node_dilated_edges
 from stinet_tpu.preprocessing.plyio import read_ply
+from stinet_tpu.graph import native as _graph_native
 
 
 def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
@@ -37,7 +38,11 @@ def vertex_normals(vertices: np.ndarray, faces: np.ndarray) -> np.ndarray:
 
 def edges_from_faces(faces: np.ndarray) -> np.ndarray:
     """Directed [2, E] edge list (both directions, no self loops, deduped) —
-    reference edges_from_faces (graph_level_generation.py:119-132)."""
+    reference edges_from_faces (graph_level_generation.py:119-132). The
+    native hash-dedup twin (graph/native) preserves this path's exact
+    first-occurrence edge order; STINET_NATIVE_BUILD=0 forces numpy."""
+    if len(faces) and _graph_native.available():
+        return _graph_native.edges_from_faces(faces, int(faces.max()) + 1)
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
                         faces[:, [2, 0]]], axis=0)
     e = np.concatenate([e, e[:, ::-1]], axis=0)

@@ -228,3 +228,25 @@ def test_circle_mask_native_parity():
         np.testing.assert_array_equal(m_sp, m_nat)
         assert m_nat.dtype == np.float32
         assert (m_nat > 0).mean() >= frac * 0.9
+
+
+def test_edges_from_faces_native_parity():
+    """Native hash-dedup edges_from_faces must match the numpy path
+    exactly, including first-occurrence edge ORDER (downstream f32
+    summation order depends on it)."""
+    from stinet_tpu.preprocessing import graph_levels as GL
+
+    rng = np.random.default_rng(7)
+    for nf, nv in ((500, 300), (4000, 2100)):
+        faces = rng.integers(0, nv, (nf, 3))
+        # inject degenerate faces (self-loop edges must be dropped)
+        faces[:: 17, 1] = faces[:: 17, 0]
+        os.environ["STINET_NATIVE_BUILD"] = "0"
+        try:
+            a = GL.edges_from_faces(faces)
+        finally:
+            os.environ.pop("STINET_NATIVE_BUILD")
+        b = GL.edges_from_faces(faces)
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="out of range"):
+        native.edges_from_faces(np.array([[0, 1, 99]]), 10)
