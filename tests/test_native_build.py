@@ -250,3 +250,31 @@ def test_edges_from_faces_native_parity():
         np.testing.assert_array_equal(a, b)
     with pytest.raises(ValueError, match="out of range"):
         native.edges_from_faces(np.array([[0, 1, 99]]), 10)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_edge_set_parity_fuzz(seed):
+    """Randomized parity sweep across degree styles, halos, quantiles and
+    caps — a compact standing version of the review-time fuzz."""
+    rng = np.random.default_rng(seed)
+    nv = int(rng.integers(50, 2000))
+    ne = int(rng.integers(1, 6000))
+    style = seed % 3
+    if style == 0:        # uniform random
+        e = rng.integers(0, nv, (2, ne))
+    elif style == 1:      # hub-heavy receivers
+        e = np.stack([rng.integers(0, nv, ne),
+                      rng.integers(0, max(nv // 50, 1), ne)])
+    else:                 # banded
+        src = rng.integers(0, nv, ne)
+        e = np.stack([src, np.clip(src + rng.integers(-40, 40, ne),
+                                   0, nv - 1)])
+    v_pad = B.bucket_size(nv + 1, 128)
+    e_pad = B.bucket_size(ne, 128)
+    halo = [None, 16, 64][int(rng.integers(0, 3))]
+    q = float(rng.uniform(0.5, 1.0))
+    a = _numpy_edge_set(e, e_pad, v_pad - 1, v_pad,
+                        cap_quantile=q, window_halo=halo)
+    b = _native_edge_set(e, e_pad, v_pad - 1, v_pad,
+                         cap_quantile=q, window_halo=halo)
+    _assert_edge_sets_equal(a, b)
