@@ -276,6 +276,29 @@ def bench_tpu_stages(scene):
            "batched_ms_per_dispatch": round(batch_dt * 1e3, 2),
            "batched_vertices_per_sec": round(batch * V / batch_dt, 1)}
 
+    # quinary: end-to-end serving stream — host graph builds (native C++
+    # builder on a thread pool, graph/native) overlapped with in-order
+    # device dispatch via SceneInpainter.predict_stream. Unlike the stages
+    # above, this number INCLUDES the host-side build cost per scene, so it
+    # is the realistic single-host serving throughput. BENCH_STREAM=0
+    # disables.
+    n_stream = int(os.environ.get("BENCH_STREAM", 8))
+    if _remaining() < 120 or n_stream <= 0:
+        return
+    try:
+        from stinet_tpu.serving import SceneInpainter as _SI
+        server = _SI(model, params, geometric=False)
+        server.predict(scene)  # warm the bucket's compiled signature
+        stream_scenes = [build_scene(seed=100 + i) for i in range(n_stream)]
+        t0 = time.perf_counter()
+        n_done = sum(1 for _ in server.predict_stream(iter(stream_scenes)))
+        stream_dt = (time.perf_counter() - t0) / max(n_done, 1)
+        yield {"stream_scenes": n_done,
+               "stream_ms_per_scene_e2e": round(stream_dt * 1e3, 2),
+               "stream_scenes_per_sec": round(1.0 / stream_dt, 2)}
+    except Exception as exc:  # stream stage is best-effort detail
+        yield {"stream_error": f"{type(exc).__name__}: {exc}"[:200]}
+
 
 def bench_torch_cpu(scene, iters):
     """Reference-semantics STINet forward in pure torch (CPU).

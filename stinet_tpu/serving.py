@@ -347,8 +347,9 @@ class SceneInpainter:
         with device compute; yields per-scene valid-vertex colors in input
         order.
 
-        Serving is HOST-bound: padded-graph construction costs ~0.3 s per
-        65k-vertex scene (numpy sorts/bincounts, which release the GIL)
+        Serving is HOST-bound: padded-graph construction costs ~27 ms per
+        65k-vertex scene through the native C++ builder (graph/native,
+        whose C calls release the GIL; ~0.3 s on the numpy fallback)
         against ~8 ms of device forward — so a thread pool of builders is
         the throughput lever, and the device is kept trivially busy by a
         single dispatcher. Early concurrent builds may land on different
