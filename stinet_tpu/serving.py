@@ -342,7 +342,7 @@ class SceneInpainter:
         return out[info.new_id[0]]
 
     def predict_stream(self, scenes: Iterable[RawHierarchy],
-                       build_workers: int = 2) -> Iterator[np.ndarray]:
+                       build_workers: int = 4) -> Iterator[np.ndarray]:
         """Inpaint a stream of scenes, overlapping host-side graph builds
         with device compute; yields per-scene valid-vertex colors in input
         order.
@@ -351,8 +351,10 @@ class SceneInpainter:
         65k-vertex scene through the native C++ builder (graph/native,
         whose C calls release the GIL; ~0.3 s on the numpy fallback)
         against ~8 ms of device forward — so a thread pool of builders is
-        the throughput lever, and the device is kept trivially busy by a
-        single dispatcher. Early concurrent builds may land on different
+        the throughput lever (default 4 ~= ceil(27/8), enough to saturate
+        the device on a multi-core host), and the device is kept trivially
+        busy by a single dispatcher. Early concurrent builds may land on
+        different
         running-max widths (an extra compile or two before the ladder
         plateaus); values are unaffected."""
         ex = concurrent.futures.ThreadPoolExecutor(
