@@ -70,7 +70,9 @@ def load_scene_npz(path: str, end_level: int):
                 per_level[int(d)] = z[key].astype(np.int64)
         if per_level:
             dilated[l] = per_level
-    return vertices, edges, traces, dilated, [int(d) for d in dil_dists]
+    banded = bool(z["rcm_ordered"]) if "rcm_ordered" in z else False
+    return vertices, edges, traces, dilated, \
+        [int(d) for d in dil_dists], banded
 
 
 def load_scene_pt(path: str, end_level: int):
@@ -100,7 +102,7 @@ def load_scene_pt(path: str, end_level: int):
                     per_level[d] = per_level[dists[i - 1]]
             if per_level:
                 dilated[l] = per_level
-    return vertices, edges, traces, dilated, dists
+    return vertices, edges, traces, dilated, dists, False
 
 
 class ScanNetGraphColorDataSet:
@@ -179,7 +181,8 @@ class ScanNetGraphColorDataSet:
         mask_path = mask_files[
             list(mask_files)[int(self._rng.integers(0, len(mask_files)))]]
 
-        vertices, edges, traces, dilated, dists = self._load_graph(scene)
+        (vertices, edges, traces, dilated, dists,
+         banded) = self._load_graph(scene)
         # vertex layout: 0:3 pos, 3:6 color, 6:9 normals
         # (reference scannetcolorgraph_dataloader.py:91)
         v0 = vertices[0].astype(np.float32)
@@ -210,7 +213,7 @@ class ScanNetGraphColorDataSet:
             mask=mask, num_vertices=num_vertices,
             level_edges=[e for e in edges],
             traces=[t for t in use_traces],
-            dilated=dilated, name=scene)
+            dilated=dilated, name=scene, banded=banded)
         if self._transform is not None:
             sample = self._transform(sample, self._rng)
         return sample

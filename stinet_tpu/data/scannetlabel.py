@@ -83,7 +83,7 @@ class ScanNetLabelDataSet:
 
     def __getitem__(self, index: int) -> RawHierarchy:
         scene = self.index2filenames[index]
-        (vertices, edges, traces, dilated, _), npz_path = \
+        (vertices, edges, traces, dilated, _, _), npz_path = \
             self._load_graph(scene)
         v0 = vertices[0].astype(np.float32)
         pos, color, normals = v0[:, 0:3], v0[:, 3:6], v0[:, 6:9]

@@ -48,6 +48,10 @@ class RawHierarchy:
         default_factory=dict)
     labels: Optional[np.ndarray] = None
     name: str = ""
+    # vertex ids already bandwidth-ordered (offline RCM pass,
+    # preprocessing/graph_levels.py rcm=True): windowed builds skip their
+    # per-sample reorder
+    banded: bool = False
 
 
 ELL_MAX_DEGREE = 64
@@ -281,6 +285,27 @@ def reorder_bandwidth(sample: RawHierarchy) -> RawHierarchy:
         dilated=new_dilated)
 
 
+# Already-banded detection threshold: skip the RCM reorder when every
+# level's band quantile ladders to a halo at or below this (the windowed
+# dispatch win region, ops/message_passing.py caps). Scenes stored by the
+# offline RCM pass (preprocessing/graph_levels.py rcm=True) land here.
+_BANDED_SKIP_HALO = 384
+
+
+def _is_banded(sample: RawHierarchy, quantile: float) -> bool:
+    """True when every level's raw edge band already ladders to a halo
+    small enough that reordering would not change the kernel dispatch."""
+    for l, nv in enumerate(sample.num_vertices):
+        e = sample.level_edges[l]
+        if e.shape[1] == 0:
+            continue
+        band = np.abs(e[0].astype(np.int64) - e[1].astype(np.int64))
+        need = max(int(np.quantile(band, quantile)), 1)
+        if need > _BANDED_SKIP_HALO:
+            return False
+    return True
+
+
 # Static halo ladder: `halo` is a non-pytree (trace-time) field of EdgeSet,
 # so every distinct value compiles a distinct program. Rounding the
 # data-dependent band quantile UP onto this bounded ladder keeps the
@@ -334,14 +359,18 @@ def build_hierarchical_graph(
     With `windowed`, samples are RCM-reordered (reorder_bandwidth) and each
     edge set's ELL tables are banded to an auto-chosen halo (band quantile;
     out-of-band edges spill to COO), enabling the windowed one-hot MXU
-    aggregation kernel on TPU.
+    aggregation kernel on TPU. Samples whose vertex ids are ALREADY banded
+    (e.g. preprocessed with the offline RCM pass, graph_levels rcm=True)
+    skip the reorder — band-quantile detection per level, threshold at the
+    windowed dispatch win region.
 
     The per-edge-set table builds are independent and run on a thread pool
     (the native builder releases the GIL for the duration of the C call);
     ``STINET_BUILD_WORKERS=1`` forces sequential builds.
     """
     if windowed:
-        samples = [reorder_bandwidth(s) for s in samples]
+        samples = [s if (s.banded or _is_banded(s, window_quantile))
+                   else reorder_bandwidth(s) for s in samples]
     num_levels = len(samples[0].num_vertices)
     num_graphs = len(samples)
 

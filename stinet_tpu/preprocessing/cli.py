@@ -32,7 +32,8 @@ def cmd_graphs(args):
         try:
             out = process_scene(ply, args.out, args.level_params,
                                 dilation_dists=args.dilations,
-                                dilation_levels=args.dilation_levels or ())
+                                dilation_levels=args.dilation_levels or (),
+                                rcm=args.rcm)
             print("wrote", out, flush=True)
         except Exception as e:  # per-scene crash tolerance
             print(f"FAILED {ply}: {e}", flush=True)
@@ -108,6 +109,10 @@ def main():
     g.add_argument("--dilation-levels", nargs="+", type=int, default=None)
     g.add_argument("--number", type=int, default=None)
     g.add_argument("--jobs", type=int, default=max(os.cpu_count() - 2, 1))
+    # store scenes RCM-bandwidth-ordered: windowed training/serving builds
+    # then skip their per-sample reorder (graph/build.py:_is_banded)
+    g.add_argument("--rcm", action="store_true", default=True)
+    g.add_argument("--no-rcm", dest="rcm", action="store_false")
     g.set_defaults(fn=cmd_graphs)
 
     c = sub.add_parser("crops")

@@ -55,6 +55,10 @@ def crop_scene(scene_npz: Dict[str, np.ndarray], origin_xy: np.ndarray,
     tests across the crop grid; computed on the fly when absent."""
     out = {"num_levels": num_levels,
            "dilation_dists": np.asarray(list(dilation_dists), np.int64)}
+    if "rcm_ordered" in scene_npz:
+        # crop relabeling keeps relative vertex order (kept ids ascend), so
+        # a bandwidth-ordered scene yields bandwidth-ordered crops
+        out["rcm_ordered"] = scene_npz["rcm_ordered"]
     kept_per_level = []
     maps = []
     ox, oy = float(origin_xy[0]), float(origin_xy[1])

@@ -76,18 +76,69 @@ def decimate_level(vertices, faces, level_param):
     return native.qem_decimate(vertices, faces, target)
 
 
+def _rcm_relabel_levels(out: dict) -> dict:
+    """Offline RCM pass: permute every level's vertices to bandwidth order
+    (graph/native rcm_order) so windowed training/serving builds skip their
+    per-sample reorder (build.py:_is_banded). Pure relabeling — vertex rows,
+    edge ids, traces and dilated edges are rewritten consistently. The
+    index channel (vertices[:, 9]) is re-stamped to the NEW ids: its
+    invariant is "this vertex's index in the full-scene level array"
+    (crop/mask projection reads it, crops.py/masks.py), which the
+    relabeling must keep true."""
+    L = int(out["num_levels"])
+    perms, invs = [], []
+    for l in range(L):
+        nv = out[f"vertices_{l}"].shape[0]
+        e = out[f"edges_{l}"]
+        if _graph_native.available():
+            order = _graph_native.rcm_order(e, nv).astype(np.int64)
+        else:
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            adj = csr_matrix((np.ones(e.shape[1], np.int8), (e[0], e[1])),
+                             shape=(nv, nv))
+            order = np.asarray(
+                reverse_cuthill_mckee(adj, symmetric_mode=False), np.int64)
+        inv = np.empty(nv, np.int64)
+        inv[order] = np.arange(nv)
+        perms.append(order)
+        invs.append(inv)
+    for l in range(L):
+        v = out[f"vertices_{l}"][perms[l]]
+        v[:, 9] = np.arange(len(v), dtype=v.dtype)
+        out[f"vertices_{l}"] = v
+        out[f"edges_{l}"] = invs[l][out[f"edges_{l}"]]
+        if f"labels_{l}" in out:
+            out[f"labels_{l}"] = out[f"labels_{l}"][perms[l]]
+        for key in list(out):
+            if key.startswith("dil_") and key.endswith(f"_edges_{l}") \
+                    and out[key].size:
+                out[key] = invs[l][out[key]]
+        # traces_0: original mesh -> level 0 (values relabel only);
+        # traces_l (l>=1): level l-1 -> level l (rows follow level l-1's
+        # permutation, values relabel into level l's new ids)
+        tr = out[f"traces_{l}"]
+        if l == 0:
+            out["traces_0"] = invs[0][tr]
+        else:
+            out[f"traces_{l}"] = invs[l][tr][perms[l - 1]]
+    return out
+
+
 def build_scene_levels(vertices: np.ndarray, faces: np.ndarray,
                        colors: Optional[np.ndarray],
                        labels: Optional[np.ndarray],
                        level_params: Sequence,
                        dilation_dists: Sequence[int] = (),
-                       dilation_levels: Sequence[int] = ()) -> dict:
+                       dilation_levels: Sequence[int] = (),
+                       rcm: bool = False) -> dict:
     """Produce the npz-able dict for one scene.
 
     level_params follows the reference convention ("100 30 30 30"): the first
     param produces level 0 from the original mesh, each subsequent one the
     next level. traces_0 maps original vertices -> level 0; traces_l maps
-    level l-1 -> level l.
+    level l-1 -> level l. With `rcm`, vertices are stored in RCM bandwidth
+    order (windowed builds then skip their per-sample reorder).
     """
     if colors is None:
         colors = np.zeros((len(vertices), 3), np.float64)
@@ -129,19 +180,25 @@ def build_scene_levels(vertices: np.ndarray, faces: np.ndarray,
 
         cur_v, cur_f = new_v, new_f
 
+    if rcm:
+        out = _rcm_relabel_levels(out)
+        # loaders propagate this into RawHierarchy.banded so windowed
+        # builds skip their per-sample reorder without re-deriving it
+        out["rcm_ordered"] = np.int64(1)
     return out
 
 
 def process_scene(ply_path: str, out_dir: str, level_params: Sequence,
                   dilation_dists: Sequence[int] = (2, 4, 6, 8, 16),
                   dilation_levels: Sequence[int] = (),
-                  labels: Optional[np.ndarray] = None) -> str:
+                  labels: Optional[np.ndarray] = None,
+                  rcm: bool = False) -> str:
     mesh = read_ply(ply_path)
     scene = os.path.basename(ply_path).replace("_vh_clean_2.ply", "") \
         .replace(".ply", "")
     data = build_scene_levels(
         mesh["vertices"], mesh["faces"], mesh.get("colors"), labels,
-        level_params, dilation_dists, dilation_levels)
+        level_params, dilation_dists, dilation_levels, rcm=rcm)
     os.makedirs(os.path.join(out_dir, "graphs"), exist_ok=True)
     out_path = os.path.join(out_dir, "graphs", scene + ".npz")
     np.savez_compressed(out_path, **data)

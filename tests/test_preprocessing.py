@@ -387,3 +387,70 @@ def test_rasterizer_occlusion_and_observers_mask(rng):
     assert (mask[:n * n][back_x > 1.7] == 0).all()
     # cam1-only region (seen once < min_views=2) is masked
     assert mask[:n * n][(back_x > 0.2) & (back_x < 1.3)].all()
+
+
+def test_offline_rcm_relabel_equivalence():
+    """rcm=True stores a pure relabeling: same geometry, same connectivity
+    (as position pairs), consistent traces, re-stamped index channel, and
+    banded enough that windowed builds skip their per-sample reorder."""
+    from stinet_tpu.utils.hostile import terrain_mesh
+    from stinet_tpu.preprocessing.graph_levels import build_scene_levels
+    from stinet_tpu.graph import build as B
+
+    v, f = terrain_mesh(4000, seed=3)
+    plain = build_scene_levels(v, f, None, None, ["100", "30", "30"],
+                               dilation_dists=[2, 4], dilation_levels=[2])
+    rcm = build_scene_levels(v, f, None, None, ["100", "30", "30"],
+                             dilation_dists=[2, 4], dilation_levels=[2],
+                             rcm=True)
+    for l in range(3):
+        vp, vr = plain[f"vertices_{l}"], rcm[f"vertices_{l}"]
+        assert vp.shape == vr.shape
+        # index channel re-stamped to new ids
+        np.testing.assert_array_equal(vr[:, 9], np.arange(len(vr)))
+        # same vertex set (rows are a permutation, ignoring channel 9)
+        key = lambda a: np.lexsort(a[:, :9].T[::-1])
+        np.testing.assert_allclose(vp[key(vp), :9], vr[key(vr), :9])
+        # same edges as geometric endpoint pairs
+        def edge_keys(verts, edges):
+            p = verts[:, 0:3]
+            pairs = np.concatenate([p[edges[0]], p[edges[1]]], axis=1)
+            return pairs[np.lexsort(pairs.T[::-1])]
+        np.testing.assert_allclose(edge_keys(vp, plain[f"edges_{l}"]),
+                                   edge_keys(vr, rcm[f"edges_{l}"]))
+        # traces target the same geometric coarse vertex
+        if l >= 1:
+            fine_p = plain[f"vertices_{l-1}"][:, 0:3]
+            fine_r = rcm[f"vertices_{l-1}"][:, 0:3]
+            tgt_p = plain[f"vertices_{l}"][plain[f"traces_{l}"], 0:3]
+            tgt_r = rcm[f"vertices_{l}"][rcm[f"traces_{l}"], 0:3]
+            op, orr = (np.lexsort(fine_p.T[::-1]), np.lexsort(fine_r.T[::-1]))
+            np.testing.assert_allclose(tgt_p[op], tgt_r[orr])
+
+    # banded: windowed build must not need reorder_bandwidth
+    from stinet_tpu.data.scannet import load_scene_npz
+    import io as _io
+    buf = {k: rcm[k] for k in rcm}
+    import tempfile, os as _os
+    d = tempfile.mkdtemp()
+    np.savez(_os.path.join(d, "s.npz"), **buf)
+    vertices, edges, traces, dilated, dists, banded = load_scene_npz(
+        _os.path.join(d, "s.npz"), 3)
+    assert banded
+    from stinet_tpu.graph.build import RawHierarchy
+    v0 = vertices[0].astype(np.float32)
+    nvs = [v0.shape[0]] + [int(t.max()) + 1 for t in traces[1:3]]
+    sample = RawHierarchy(
+        x=v0[:, :10], color=v0[:, 3:6], mask=np.zeros((len(v0), 1), np.float32),
+        num_vertices=nvs, level_edges=list(edges), traces=list(traces[1:3]),
+        dilated=dilated, banded=banded)
+    import pytest as _pytest
+    def _boom(s):
+        raise AssertionError("reorder should have been skipped")
+    orig = B.reorder_bandwidth
+    B.reorder_bandwidth = _boom
+    try:
+        g = B.build_hierarchical_graph([sample], windowed=True)
+    finally:
+        B.reorder_bandwidth = orig
+    assert g.levels[0].edges.halo is not None

@@ -34,7 +34,7 @@ def test_load_reference_pt_format(tmp_path, rng):
     path = tmp_path / "scene0000_00.pt"
     torch.save(saved, path)
 
-    vertices, edges, traces, dilated, dists = load_scene_pt(str(path), 3)
+    vertices, edges, traces, dilated, dists, _ = load_scene_pt(str(path), 3)
     assert len(vertices) == 3 and vertices[0].shape == (60, 10)
     assert edges[0].shape == (2, 240)
     assert traces[1].shape == (60,)

@@ -162,7 +162,7 @@ def test_reference_scene_and_checkpoint_psnr_parity(tmp_path, rng):
 
     # reference .pt -> raw hierarchy (the dataset's 10ch assembly,
     # scannetcolorgraph_dataloader.py:114-121)
-    vertices, edges, traces, dilated, dists = load_scene_pt(pt_path, 3)
+    vertices, edges, traces, dilated, dists, _ = load_scene_pt(pt_path, 3)
     v0 = vertices[0].astype(np.float32)
     pos, color, normals = v0[:, 0:3], v0[:, 3:6], v0[:, 6:9]
     color = color * 2.0 - 1.0
