@@ -266,6 +266,20 @@ def test_crop_scene(rng):
     assert crop["edges_0"].max() < nv0
 
 
+def test_crop_scene_propagates_rcm_flag(rng):
+    """Crops of RCM-stored scenes carry rcm_ordered and stay banded (crop
+    relabeling preserves relative vertex order)."""
+    v, f = grid_mesh(24, noise=0.01, rng=rng)
+    data = build_scene_levels(v, f, None, None,
+                              level_params=["100", "30", "30"], rcm=True)
+    crop = crop_scene(data, np.array([0.0, 0.0]), 12.0, 3,
+                      min_coarse_vertices=5)
+    assert crop is not None and int(crop["rcm_ordered"]) == 1
+    e = crop["edges_0"].astype(np.int64)
+    band95 = int(np.quantile(np.abs(e[0] - e[1]), 0.95))
+    assert band95 <= 384  # within the windowed-dispatch skip region
+
+
 def wavy_mesh(n=50, amp=1.5):
     """Smooth curved terrain — a realistic stand-in for a room surface."""
     xs, ys = np.meshgrid(np.arange(n, dtype=np.float64),
