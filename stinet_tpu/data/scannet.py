@@ -59,7 +59,11 @@ def load_scene_npz(path: str, end_level: int):
     L = min(levels, end_level)
     vertices = [z[f"vertices_{l}"] for l in range(L)]
     edges = [z[f"edges_{l}"].astype(np.int64) for l in range(L)]
-    traces = [z[f"traces_{l}"].astype(np.int64) for l in range(L)]
+    # full scenes carry num_levels traces (original->0 at index 0); crop
+    # npz drop the original-mesh trace and store num_levels-1 (crops.py
+    # trace convention, reference scannetcolorgraph_dataloader.py:123-129)
+    traces = [z[f"traces_{l}"].astype(np.int64) for l in range(L)
+              if f"traces_{l}" in z]
     dil_dists = list(z["dilation_dists"]) if "dilation_dists" in z else []
     dilated = {}
     for l in range(L):

@@ -83,7 +83,7 @@ class ScanNetLabelDataSet:
 
     def __getitem__(self, index: int) -> RawHierarchy:
         scene = self.index2filenames[index]
-        (vertices, edges, traces, dilated, _, _), npz_path = \
+        (vertices, edges, traces, dilated, _, banded), npz_path = \
             self._load_graph(scene)
         v0 = vertices[0].astype(np.float32)
         pos, color, normals = v0[:, 0:3], v0[:, 3:6], v0[:, 6:9]
@@ -115,7 +115,7 @@ class ScanNetLabelDataSet:
             num_vertices=num_vertices,
             level_edges=[e for e in edges],
             traces=[t for t in use_traces],
-            dilated=dilated, labels=labels, name=scene)
+            dilated=dilated, labels=labels, name=scene, banded=banded)
         sample.original_index_traces = original_trace
         if self._transform is not None:
             sample = self._transform(sample, self._rng)

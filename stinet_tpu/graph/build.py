@@ -237,32 +237,40 @@ def _pad_edge_set(edges: np.ndarray, e_pad: int, trash: int,
                    num_edges=np.int32(e), degree=degree, **kw)
 
 
+def rcm_perm(edges: np.ndarray, nv: int):
+    """Reverse-Cuthill-McKee ordering of one level: returns
+    ``(order, inv)`` with ``order[new_id] = old_id`` and
+    ``inv[old_id] = new_id``. Native RCM (graph/native) when available;
+    the scipy fallback computes the same classic algorithm (tie-breaks
+    may differ — both are pure relabelings). Shared by the runtime
+    reorder (reorder_bandwidth) and the offline preprocessing pass
+    (preprocessing/graph_levels.py) so the two orderings cannot
+    silently diverge."""
+    if _native.available():
+        order = _native.rcm_order(edges, nv).astype(np.int64)
+    else:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        ones = np.ones(edges.shape[1], np.int8)
+        adj = csr_matrix((ones, (edges[0], edges[1])), shape=(nv, nv))
+        order = np.asarray(
+            reverse_cuthill_mckee(adj, symmetric_mode=False), np.int64)
+    inv = np.empty(nv, np.int64)
+    inv[order] = np.arange(nv)
+    return order, inv
+
+
 def reorder_bandwidth(sample: RawHierarchy) -> RawHierarchy:
     """Permute every level's vertices by reverse-Cuthill-McKee so edges
     become banded (|src - dst| small), enabling the windowed one-hot MXU
     aggregation kernel (ops/pallas/onehot_gather.py). Pure relabeling: the
-    graph, features, traces and dilated edge sets are equivalent.
-
-    The ordering itself comes from the native RCM (graph/native) when
-    available; the scipy fallback computes the same classic algorithm
-    (tie-breaks may differ — both are pure relabelings, and `_auto_halo`
-    re-derives the band from whatever ordering was achieved)."""
+    graph, features, traces and dilated edge sets are equivalent
+    (`_auto_halo` re-derives the band from whatever ordering was
+    achieved)."""
     perms = []      # perms[l][new_id] = old_id
     newids = []     # newids[l][old_id] = new_id
-    use_native = _native.available()
     for l, nv in enumerate(sample.num_vertices):
-        e = sample.level_edges[l]
-        if use_native:
-            order = _native.rcm_order(e, nv).astype(np.int64)
-        else:
-            from scipy.sparse import csr_matrix
-            from scipy.sparse.csgraph import reverse_cuthill_mckee
-            ones = np.ones(e.shape[1], np.int8)
-            adj = csr_matrix((ones, (e[0], e[1])), shape=(nv, nv))
-            order = np.asarray(
-                reverse_cuthill_mckee(adj, symmetric_mode=False), np.int64)
-        inv = np.empty(nv, np.int64)
-        inv[order] = np.arange(nv)
+        order, inv = rcm_perm(sample.level_edges[l], nv)
         perms.append(order)
         newids.append(inv)
 

@@ -110,8 +110,11 @@ def main():
     g.add_argument("--number", type=int, default=None)
     g.add_argument("--jobs", type=int, default=max(os.cpu_count() - 2, 1))
     # store scenes RCM-bandwidth-ordered: windowed training/serving builds
-    # then skip their per-sample reorder (graph/build.py:_is_banded)
-    g.add_argument("--rcm", action="store_true", default=True)
+    # then skip their per-sample reorder (graph/build.py:_is_banded).
+    # Opt-in: masks/crops generated from a previous run apply positionally
+    # (vertex_mask rows), so re-running `graphs` with a different ordering
+    # silently corrupts them — regenerate masks/crops after switching.
+    g.add_argument("--rcm", action="store_true", default=False)
     g.add_argument("--no-rcm", dest="rcm", action="store_false")
     g.set_defaults(fn=cmd_graphs)
 

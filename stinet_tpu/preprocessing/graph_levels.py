@@ -85,22 +85,12 @@ def _rcm_relabel_levels(out: dict) -> dict:
     invariant is "this vertex's index in the full-scene level array"
     (crop/mask projection reads it, crops.py/masks.py), which the
     relabeling must keep true."""
+    from stinet_tpu.graph.build import rcm_perm
     L = int(out["num_levels"])
     perms, invs = [], []
     for l in range(L):
-        nv = out[f"vertices_{l}"].shape[0]
-        e = out[f"edges_{l}"]
-        if _graph_native.available():
-            order = _graph_native.rcm_order(e, nv).astype(np.int64)
-        else:
-            from scipy.sparse import csr_matrix
-            from scipy.sparse.csgraph import reverse_cuthill_mckee
-            adj = csr_matrix((np.ones(e.shape[1], np.int8), (e[0], e[1])),
-                             shape=(nv, nv))
-            order = np.asarray(
-                reverse_cuthill_mckee(adj, symmetric_mode=False), np.int64)
-        inv = np.empty(nv, np.int64)
-        inv[order] = np.arange(nv)
+        order, inv = rcm_perm(out[f"edges_{l}"],
+                              out[f"vertices_{l}"].shape[0])
         perms.append(order)
         invs.append(inv)
     for l in range(L):

@@ -266,6 +266,44 @@ def test_crop_scene(rng):
     assert crop["edges_0"].max() < nv0
 
 
+def test_crop_npz_loads_through_scene_loader(tmp_path, rng):
+    """Crop npz files (num_levels-1 traces, no original-mesh trace) load
+    through load_scene_npz and assemble into a consistent cropped-style
+    RawHierarchy — the no_train_cropped=False training path."""
+    from stinet_tpu.data.scannet import load_scene_npz
+    from stinet_tpu.graph.build import RawHierarchy, build_hierarchical_graph
+
+    v, f = grid_mesh(40, noise=0.01, rng=rng)
+    colors = rng.uniform(0, 1, size=(len(v), 3))
+    data = build_scene_levels(v, f, colors, None,
+                              level_params=["100", "30", "30"], rcm=True)
+    crop = crop_scene(data, np.array([0.0, 0.0]), 30.0, 3,
+                      min_coarse_vertices=5)
+    path = tmp_path / "scene0000_00_0.npz"
+    np.savez(path, **crop)
+
+    vertices, edges, traces, dilated, dists, banded = \
+        load_scene_npz(str(path), 3)
+    assert banded
+    assert len(vertices) == 3 and len(edges) == 3
+    # crop convention: num_levels-1 traces, traces[l] maps level l -> l+1
+    assert len(traces) == 2
+    for l, t in enumerate(traces):
+        assert t.shape[0] == vertices[l].shape[0]
+        assert t.max() < vertices[l + 1].shape[0]
+
+    v0 = vertices[0].astype(np.float32)
+    use_traces = traces[:2]  # cropped: no original-mesh trace to drop
+    nvs = [v0.shape[0]] + [int(t.max()) + 1 for t in use_traces]
+    sample = RawHierarchy(
+        x=v0[:, :10], color=v0[:, 3:6],
+        mask=np.zeros((len(v0), 1), np.float32), num_vertices=nvs,
+        level_edges=list(edges), traces=list(use_traces),
+        dilated=dilated, banded=banded)
+    g = build_hierarchical_graph([sample], windowed=True)
+    assert g.levels[0].edges.halo is not None
+
+
 def test_crop_scene_propagates_rcm_flag(rng):
     """Crops of RCM-stored scenes carry rcm_ordered and stay banded (crop
     relabeling preserves relative vertex order)."""
