@@ -68,10 +68,16 @@ def load_scene_npz(path: str, end_level: int):
     dilated = {}
     for l in range(L):
         per_level = {}
-        for d in dil_dists:
+        for i, d in enumerate(dil_dists):
             key = f"dil_{int(d)}_edges_{l}"
             if key in z and z[key].size > 0:
                 per_level[int(d)] = z[key].astype(np.int64)
+            elif i > 0 and int(dil_dists[i - 1]) in per_level:
+                # empty dilated set (small crops): fall back to the
+                # previous dilation distance, matching the reference
+                # (scannetcolorgraph_dataloader.py:138-144) and the .pt
+                # loader below
+                per_level[int(d)] = per_level[int(dil_dists[i - 1])]
         if per_level:
             dilated[l] = per_level
     banded = bool(z["rcm_ordered"]) if "rcm_ordered" in z else False

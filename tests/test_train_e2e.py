@@ -351,3 +351,59 @@ def test_inpainting3d_bf16_windowed_end_to_end(tmp_path, monkeypatch):
     assert fired["n"] > 0, (
         "windowed kernel never dispatched — build fell back (halo=None) "
         "or the shape gate changed")
+
+
+def test_inpainting3d_cropped_training_end_to_end(tmp_path, rng):
+    """Train on CROPS (no_train_cropped=False): scenes run through the real
+    preprocessing stack (build_scene_levels rcm=True -> crop_scene), crops
+    are stored in the reference's crop layout (graphs/<scene>_<i>.npz with
+    num_levels-1 traces + per-crop mask dirs), and one epoch goes through
+    the trainer. Covers the crop trace convention in load_scene_npz and the
+    per-scene SHA1 crop subsampling path (reference scannet_dataset.py:45-60,
+    scannetcolorgraph_dataloader.py:123-129)."""
+    from stinet_tpu.data.scannet import (
+        read_split, SCANNET_TRAIN_FILE, SCANNET_VAL_FILE)
+    from stinet_tpu.preprocessing.graph_levels import build_scene_levels
+    from stinet_tpu.preprocessing.crops import crop_scene
+    from tests.test_preprocessing import grid_mesh
+
+    def write_crops(root, scene, n_crops=2, masked=True):
+        os.makedirs(os.path.join(root, "graphs"), exist_ok=True)
+        v, f = grid_mesh(24, noise=0.01, rng=rng)
+        colors = rng.uniform(0, 1, size=(len(v), 3))
+        data = build_scene_levels(v, f, colors, None,
+                                  level_params=["100", "30", "30"],
+                                  dilation_dists=[2, 4],
+                                  dilation_levels=[2], rcm=True)
+        names = []
+        for i in range(n_crops):
+            crop = crop_scene(data, np.array([float(5 * i), 0.0]), 14.0, 3,
+                              dilation_dists=[2, 4], min_coarse_vertices=4)
+            assert crop is not None
+            name = f"{scene}_{i}"
+            np.savez(os.path.join(root, "graphs", name + ".npz"), **crop)
+            nv0 = crop["vertices_0"].shape[0]
+            mdir = os.path.join(root, "masks", "rad_16", name)
+            os.makedirs(mdir, exist_ok=True)
+            mask = np.zeros(nv0, np.float32)
+            mask[rng.integers(0, nv0, size=max(nv0 // 4, 1))] = 1
+            np.savez(os.path.join(mdir, "0.npz"), vertex_mask=mask)
+            names.append(name)
+        return names
+
+    train_root = str(tmp_path / "train")
+    val_root = str(tmp_path / "val")
+    train_scenes = read_split(SCANNET_TRAIN_FILE)[:2]
+    val_scene = read_split(SCANNET_VAL_FILE)[0]
+    for s in train_scenes:
+        write_crops(train_root, s)
+    # val stays uncropped (full-scene convention with original-mesh trace)
+    write_fake_scene(val_root, val_scene, rng)
+
+    cfg_dict = make_3d_config(tmp_path, train_root, val_root)
+    cfg_dict["data_loader"]["args"]["no_train_cropped"] = False
+    cfg_dict["data_loader"]["args"]["num_crops_per_train_scene"] = 1
+    cfg = ConfigParser(cfg_dict, dry_run=False)
+    trainer = TRAINERS.get("Inpainting3DTrainer")(cfg)
+    trainer.train()
+    assert np.isfinite(trainer.train_metrics.avg("loss"))
