@@ -427,8 +427,12 @@ def build_hierarchical_graph(
 
         all_dists = sorted({d for s in samples for d in s.dilated.get(l, {})})
         for dist in all_dists:
+            # a scene missing this distance at this level contributes zero
+            # edges (heterogeneous batches: mixed dilation configs or
+            # crops whose dilated sets emptied out)
             de = np.concatenate(
-                [s.dilated[l][dist] + offsets[l, g]
+                [s.dilated.get(l, {}).get(
+                    dist, np.zeros((2, 0), np.int64)) + offsets[l, g]
                  for g, s in enumerate(samples)], axis=1)
             de_pad = bucket_size(de.shape[1], pad_multiple, geometric)
             dhalo = (_auto_halo(de, v_pad, window_quantile)

@@ -108,6 +108,11 @@ def build_edge_set_tables(src64: np.ndarray, dst64: np.ndarray, e_pad: int,
     build.py's bucket_size (the spill pad policy stays Python-side)."""
     lib = get_lib()
     e = int(src64.shape[0])
+    # hard check (not an assert): edge_set_fill memcpy's e entries into
+    # np.empty(e_pad) buffers — e > e_pad under python -O would be a heap
+    # overflow (the numpy fallback fails loudly in the same situation)
+    if e > e_pad:
+        raise ValueError(f"edge bucket too small: {e} > {e_pad}")
     src64 = np.ascontiguousarray(src64, dtype=np.int64)
     dst64 = np.ascontiguousarray(dst64, dtype=np.int64)
     halo = -1 if window_halo is None else int(window_halo)
@@ -219,9 +224,18 @@ class Adjacency:
 
     def disk_update(self, seed: int, radius: int, mask: np.ndarray) -> int:
         """mask[v] = max(mask[v], radius - hopdist(seed, v)) in place;
-        returns how many entries went 0 -> positive."""
-        assert mask.dtype == np.float32 and mask.flags.c_contiguous
-        assert mask.shape == (self.num_vertices,)
+        returns how many entries went 0 -> positive.
+
+        NOT thread-safe across calls on one instance: the native handle
+        owns shared BFS scratch (frontier/stamp buffers). Use one
+        Adjacency per thread for parallel disk generation."""
+        # hard checks (not asserts): the raw pointer goes to native code,
+        # and a wrong dtype/size under python -O would be an OOB write
+        if mask.dtype != np.float32 or not mask.flags.c_contiguous:
+            raise ValueError("mask must be C-contiguous float32")
+        if mask.shape != (self.num_vertices,):
+            raise ValueError(
+                f"mask shape {mask.shape} != ({self.num_vertices},)")
         return int(self._lib.adj_disk_update(
             self._h, int(seed), int(radius), _ptr(mask, ctypes.c_float)))
 

@@ -62,7 +62,10 @@ def _unify_static_halos(graphs):
     unified — left as-is so the caller's treedef check raises and falls
     back to concatenation."""
     def halo_of(g, li, dk):
-        es = g.levels[li].edges if dk == "base" else g.levels[li].dilated[dk]
+        if li >= len(g.levels):
+            return None
+        es = (g.levels[li].edges if dk == "base"
+              else g.levels[li].dilated.get(dk))
         return None if es is None else es.halo
 
     out = []
@@ -70,6 +73,9 @@ def _unify_static_halos(graphs):
             for dk in ["base", *lev.dilated.keys()]]
     merged = {}
     for k in keys:
+        # a graph missing the level/distance entirely (heterogeneous
+        # batch) counts as None: left unmerged, so the caller's treedef
+        # check raises and falls back to concatenation
         halos = [halo_of(g, *k) for g in graphs]
         if all(h is not None for h in halos):
             merged[k] = max(halos)
@@ -390,17 +396,49 @@ class SceneInpainter:
         sizes with stacked enabled, the concatenated layout is ALSO
         warmed: "auto" traffic falls back to it when a group's scenes
         can't share a stacked signature, and that fallback must not pay
-        a multi-second compile inside a live request."""
+        a multi-second compile inside a live request. b=1 warms BOTH
+        predict() and predict_batch() (the stacked vmapped signature is
+        distinct from the single-graph forward). Chunks whose bucket
+        signature was already executed are skipped — a sliding window
+        over N scenes mostly revisits the same few signatures, and each
+        revisit costs a full host build + forward.
+
+        The signature pass runs first over EVERY scene, through
+        _normalize_widths, so the per-server running-max table widths
+        settle before any forward compiles: otherwise a later scene (or a
+        stacked build) could ratchet the widths after a signature was
+        compiled, and the first live request at the final widths would
+        still pay a compile."""
+        scene_sigs = {}
+        for s in scenes:
+            g = self._normalize_widths(build_hierarchical_graph(
+                [s], pad_multiple=self.pad_multiple,
+                geometric=self.geometric, windowed=self.windowed))
+            scene_sigs[id(s)] = tuple(
+                (lv.edges.src.shape, lv.edges.halo,
+                 None if lv.edges.nbr is None else lv.edges.nbr.shape,
+                 tuple(sorted((d, es.src.shape, es.halo)
+                              for d, es in lv.dilated.items())))
+                for lv in g.levels)
+
+        def scene_sig(s):
+            return scene_sigs[id(s)]
+
+        seen = set()
         for b in batch_sizes:
             for i in range(0, max(len(scenes) - b + 1, 1)):
                 chunk = list(scenes[i:i + b])
-                if len(chunk) == b:
-                    if b == 1:
-                        self.predict(chunk[0])
-                    else:
-                        self.predict_batch(chunk, stacked=stacked)
-                        if stacked:
-                            self.predict_batch(chunk, stacked=False)
+                if len(chunk) != b:
+                    continue
+                key = (b, tuple(scene_sig(s) for s in chunk))
+                if key in seen:
+                    continue
+                seen.add(key)
+                if b == 1:
+                    self.predict(chunk[0])
+                self.predict_batch(chunk, stacked=stacked)
+                if stacked and b > 1:
+                    self.predict_batch(chunk, stacked=False)
 
     def num_compiles(self) -> int:
         """Compiled-signature count — watch it plateau in production; a

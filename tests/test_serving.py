@@ -252,3 +252,36 @@ def test_export_roundtrip(served, tmp_path):
     n = scene.num_vertices[0]
     np.testing.assert_allclose(got[:n], server.predict(scene),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_predict_batch_heterogeneous_dilated_falls_back(served):
+    """Scenes with DIFFERENT dilation-distance sets (mixed preprocessing
+    configs, or crops whose dilated sets emptied out) can't share a
+    stacked treedef: auto falls back to the concatenated layout, where a
+    scene missing a distance contributes zero edges."""
+    model, params, scene = served
+    server = SceneInpainter(model, params)
+    other = synthetic_scene(num_vertices=500, levels=3, seed=9,
+                            dilation_dists=(2, 4))  # scene has (2,4,8,16)
+    singles = [server.predict(s) for s in (scene, other)]
+    batched = server.predict_batch([scene, other])  # must not raise
+    assert len(batched) == 2
+    for got, want in zip(batched, singles):
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_warmup_covers_stacked_single_and_dedupes(served):
+    """warmup(b=1) must compile BOTH the single-graph forward and the
+    stacked vmapped signature predict_batch uses, and repeated same-bucket
+    scenes must not grow the compile count."""
+    model, params, scene = served
+    server = SceneInpainter(model, params)
+    scenes = [synthetic_scene(num_vertices=500, levels=3, seed=s)
+              for s in range(4)]
+    server.warmup(scenes, batch_sizes=(1,))
+    n = server.num_compiles()
+    assert n >= 2  # _fwd + _vfwd at the shared bucket
+    out = server.predict_batch([scenes[0]])  # stacked auto, B=1
+    assert server.num_compiles() == n  # no compile inside the request
+    np.testing.assert_allclose(
+        out[0], server.predict(scenes[0]), rtol=1e-4, atol=1e-4)
