@@ -145,6 +145,27 @@ def bench_tpu_stages(scene):
            "tpu_ms_per_scene": round(dt * 1e3, 2),
            "_vps": V / dt}
 
+    def _guard(name, stage_fn):
+        """Run one optional stage; a failure yields an `<name>_error`
+        fragment instead of killing every later stage (the cumulative
+        output contract: each stage's line stands on its own)."""
+        try:
+            yield from stage_fn()
+        except Exception as exc:  # noqa: BLE001 — stage is best-effort
+            yield {f"{name}_error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    def _build_scenes(seeds, floor=90):
+        """Extra bench scenes, stopping when the wall budget runs low:
+        hostile families cost 60-90 s of QEM ladder per UNCACHED scene
+        (build_scene docstring), which previously blew the deadline
+        mid-stage on BENCH_SCENE=sphere/terrain with a cold /tmp."""
+        out = []
+        for sd in seeds:
+            if _remaining() < floor:
+                break
+            out.append(build_scene(seed=sd))
+        return out
+
     # secondary: bf16 forward (f32 accumulators in all reductions) on the
     # BANDWIDTH-ORDERED (windowed) graph — the RCM build + windowed one-hot
     # MXU kernel path (ops/pallas/onehot_gather.py), the bf16 production
@@ -153,7 +174,7 @@ def bench_tpu_stages(scene):
     # amsgrad opt-state resident and produced a spurious 23x "pathology"
     # (370 ms vs the real ~15 ms). Headline stays f32 for PSNR-parity
     # defensibility.
-    if _remaining() > 90 and DTYPE == "float32":
+    def _stage_bf16():
         graph16 = jax.device_put(
             build_hierarchical_graph([scene], windowed=True))
         model16 = define_G(
@@ -182,99 +203,119 @@ def bench_tpu_stages(scene):
         del out16, graph16
         yield {"bf16_ms_per_scene": round(bf16_dt * 1e3, 2)}
 
+    if _remaining() > 90 and DTYPE == "float32":
+        yield from _guard("bf16", _stage_bf16)
+
     # tertiary: full training-step throughput (loss + grads + adam update);
     # remat off — memory is ample at this scale, recompute is pure overhead.
     # Skipped when earlier stages consumed the budget (cold compiles on a
     # fresh machine) so the earlier JSON lines stand.
     if _remaining() < 90:
         return
-    import optax
-    from stinet_tpu.trainers.graph_common import (
-        build_optimizer, inpainting_loss)
-    train_model = dataclasses.replace(model, remat_io_blocks=False)
-    tx, lr = build_optimizer({"type": "Adam",
-                              "args": {"lr": 7e-5, "amsgrad": True}})
-    opt_state = jax.device_put(tx.init(params))
 
-    @jax.jit
-    def train_step(params, opt_state, graph, out):
-        x = graph.x.at[:, 0:3].add(out * 1e-6)
-        g = dataclasses.replace(graph, x=x)
+    def _stage_train():
+        import optax
+        from stinet_tpu.trainers.graph_common import (
+            build_optimizer, inpainting_loss)
+        train_model = dataclasses.replace(model, remat_io_blocks=False)
+        tx, lr = build_optimizer({"type": "Adam",
+                                  "args": {"lr": 7e-5, "amsgrad": True}})
+        opt_state = jax.device_put(tx.init(params))
 
-        def loss_fn(p):
-            pred = train_model.apply({"params": p}, g)
-            vmask = g.levels[0].vertex_mask()
-            loss, comp = inpainting_loss(pred, g.color, g.mask, vmask, True)
-            return loss, comp
+        @jax.jit
+        def train_step(params, opt_state, graph, out):
+            x = graph.x.at[:, 0:3].add(out * 1e-6)
+            g = dataclasses.replace(graph, x=x)
 
-        (loss, comp), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params)
-        upd, opt_state = tx.update(grads, opt_state, params)
-        upd = jax.tree.map(lambda u: u * jnp.float32(lr), upd)
-        return optax.apply_updates(params, upd), opt_state, comp
+            def loss_fn(p):
+                pred = train_model.apply({"params": p}, g)
+                vmask = g.levels[0].vertex_mask()
+                loss, comp = inpainting_loss(pred, g.color, g.mask, vmask,
+                                             True)
+                return loss, comp
 
-    params2, opt_state, out = train_step(params, opt_state, graph, out)
-    float(jnp.sum(out))
-    train_iters = max(ITERS // 4, 3)
-    t0 = time.perf_counter()
-    for _ in range(train_iters):
-        params2, opt_state, out = train_step(params2, opt_state, graph, out)
-    float(jnp.sum(out))
-    train_dt = (time.perf_counter() - t0) / train_iters
-    yield {"tpu_train_step_ms": round(train_dt * 1e3, 2),
-           "train_vertices_per_sec": round(V / train_dt, 1)}
-    del params2, opt_state
+            (loss, comp), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            upd, opt_state = tx.update(grads, opt_state, params)
+            upd = jax.tree.map(lambda u: u * jnp.float32(lr), upd)
+            return optax.apply_updates(params, upd), opt_state, comp
+
+        params2, opt_state2, out_t = train_step(params, opt_state, graph,
+                                                out)
+        float(jnp.sum(out_t))
+        train_iters = max(ITERS // 4, 3)
+        t0 = time.perf_counter()
+        for _ in range(train_iters):
+            params2, opt_state2, out_t = train_step(params2, opt_state2,
+                                                    graph, out_t)
+        float(jnp.sum(out_t))
+        train_dt = (time.perf_counter() - t0) / train_iters
+        yield {"tpu_train_step_ms": round(train_dt * 1e3, 2),
+               "train_vertices_per_sec": round(V / train_dt, 1)}
+
+    yield from _guard("train", _stage_train)
 
     # quaternary: batched serving throughput — B scenes in one dispatch.
     # Amortizes the coarse levels' small-shape inefficiency and per-dispatch
     # overhead; reported as detail (the headline stays single-scene so the
-    # number remains comparable across rounds). BENCH_BATCH=1 disables.
-    batch = int(os.environ.get("BENCH_BATCH", 4))
-    if _remaining() < 150 or batch <= 1:
-        return
-    scenes = [scene] + [build_scene(seed=i) for i in range(1, batch)]
+    # number remains comparable across rounds). BENCH_BATCH=1 disables the
+    # batched stage only — the stream stage below has its own knob/guard.
+    def _stage_batched():
+        batch = int(os.environ.get("BENCH_BATCH", 4))
+        if _remaining() < 150 or batch <= 1:
+            return
+        scenes = [scene] + _build_scenes(range(1, batch))
+        if len(scenes) < batch:  # budget truncated the hostile builds
+            yield {"batched_skipped": f"budget: built {len(scenes)}/{batch}"}
+            return
 
-    # Production batched layout is STACKED (serving.py): each scene keeps
-    # its own padded table with a leading scene axis and the forward is
-    # vmapped — concatenated tables measured a ~5.6x ELL-gather locality
-    # cliff at 4x size (BENCH_NOTES round-3 probe). Falls back to the
-    # concatenated layout if the scenes can't share a stacked signature.
-    layout = "stacked"
-    try:
-        from stinet_tpu.serving import SceneInpainter
-        server = SceneInpainter(model, params, geometric=False)
-        graph_b = server._build_stacked(scenes)
+        yield from _run_batched(scenes, batch)
 
-        @jax.jit
-        def chain_b(params, g, out):
-            x = g.x.at[:, :, 0:3].add(out * 1e-6)
-            return jax.vmap(
-                lambda p, gg: model.apply({"params": p}, gg),
-                in_axes=(None, 0))(params, dataclasses.replace(g, x=x))
+    def _run_batched(scenes, batch):
+        # Production batched layout is STACKED (serving.py): each scene
+        # keeps its own padded table with a leading scene axis and the
+        # forward is vmapped — concatenated tables measured a ~5.6x
+        # ELL-gather locality cliff at 4x size (BENCH_NOTES round-3
+        # probe). Falls back to the concatenated layout if the scenes
+        # can't share a stacked signature.
+        layout = "stacked"
+        try:
+            from stinet_tpu.serving import SceneInpainter
+            server = SceneInpainter(model, params, geometric=False)
+            graph_b = server._build_stacked(scenes)
 
-        out0 = jnp.zeros(graph_b.x.shape[:2] + (3,), graph_b.x.dtype)
-    except ValueError:
-        layout = "concat"
-        graph_b = jax.device_put(build_hierarchical_graph(scenes))
+            @jax.jit
+            def chain_b(params, g, out):
+                x = g.x.at[:, :, 0:3].add(out * 1e-6)
+                return jax.vmap(
+                    lambda p, gg: model.apply({"params": p}, gg),
+                    in_axes=(None, 0))(params, dataclasses.replace(g, x=x))
 
-        @jax.jit
-        def chain_b(params, graph, out):
-            x = graph.x.at[:, 0:3].add(out * 1e-6)
-            return model.apply({"params": params},
-                               dataclasses.replace(graph, x=x))
+            out0 = jnp.zeros(graph_b.x.shape[:2] + (3,), graph_b.x.dtype)
+        except ValueError:
+            layout = "concat"
+            graph_b = jax.device_put(build_hierarchical_graph(scenes))
 
-        out0 = jnp.zeros((graph_b.x.shape[0], 3), graph_b.x.dtype)
+            @jax.jit
+            def chain_b(params, graph, out):
+                x = graph.x.at[:, 0:3].add(out * 1e-6)
+                return model.apply({"params": params},
+                                   dataclasses.replace(graph, x=x))
 
-    out_b = chain_b(params, graph_b, out0)
-    float(jnp.sum(out_b))
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out_b = chain_b(params, graph_b, out_b)
-    float(jnp.sum(out_b))
-    batch_dt = (time.perf_counter() - t0) / ITERS
-    yield {"batch_size": batch, "batched_layout": layout,
-           "batched_ms_per_dispatch": round(batch_dt * 1e3, 2),
-           "batched_vertices_per_sec": round(batch * V / batch_dt, 1)}
+            out0 = jnp.zeros((graph_b.x.shape[0], 3), graph_b.x.dtype)
+
+        out_b = chain_b(params, graph_b, out0)
+        float(jnp.sum(out_b))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out_b = chain_b(params, graph_b, out_b)
+        float(jnp.sum(out_b))
+        batch_dt = (time.perf_counter() - t0) / ITERS
+        yield {"batch_size": batch, "batched_layout": layout,
+               "batched_ms_per_dispatch": round(batch_dt * 1e3, 2),
+               "batched_vertices_per_sec": round(batch * V / batch_dt, 1)}
+
+    yield from _guard("batched", _stage_batched)
 
     # quinary: end-to-end serving stream — host graph builds (native C++
     # builder on a thread pool, graph/native) overlapped with in-order
@@ -282,22 +323,26 @@ def bench_tpu_stages(scene):
     # above, this number INCLUDES the host-side build cost per scene, so it
     # is the realistic single-host serving throughput. BENCH_STREAM=0
     # disables.
-    n_stream = int(os.environ.get("BENCH_STREAM", 8))
-    if _remaining() < 120 or n_stream <= 0:
-        return
-    try:
+    def _stage_stream():
+        n_stream = int(os.environ.get("BENCH_STREAM", 8))
+        if _remaining() < 120 or n_stream <= 0:
+            return
         from stinet_tpu.serving import SceneInpainter as _SI
         server = _SI(model, params, geometric=False)
         server.predict(scene)  # warm the bucket's compiled signature
-        stream_scenes = [build_scene(seed=100 + i) for i in range(n_stream)]
+        stream_scenes = _build_scenes(
+            [100 + i for i in range(n_stream)], floor=60)
+        if not stream_scenes:
+            yield {"stream_skipped": "budget: no scenes built"}
+            return
         t0 = time.perf_counter()
         n_done = sum(1 for _ in server.predict_stream(iter(stream_scenes)))
         stream_dt = (time.perf_counter() - t0) / max(n_done, 1)
         yield {"stream_scenes": n_done,
                "stream_ms_per_scene_e2e": round(stream_dt * 1e3, 2),
                "stream_scenes_per_sec": round(1.0 / stream_dt, 2)}
-    except Exception as exc:  # stream stage is best-effort detail
-        yield {"stream_error": f"{type(exc).__name__}: {exc}"[:200]}
+
+    yield from _guard("stream", _stage_stream)
 
 
 def bench_torch_cpu(scene, iters):
@@ -517,6 +562,10 @@ def _run_worker_streaming(deadline):
             time.sleep(0.5)
         if proc.poll() is None:
             proc.kill()
+            try:  # reap: without wait() returncode stays None (zombie)
+                proc.wait(timeout=10)
+            except Exception:
+                pass
         t.join(timeout=15)
         errf.seek(0)
         tail = errf.read()[-400:].replace("\n", " | ")

@@ -48,7 +48,7 @@ def gather_edge_features(x, idx):
     return x.at[idx].get(mode="promise_in_bounds")
 
 
-def _windowed_kernel_applies(p, nbr, halo):
+def _windowed_kernel_applies(p, halo):
     """Static dispatch test for the windowed one-hot MXU kernel
     (ops/pallas/onehot_gather.py): banded ELL tables (halo), bf16 compute
     (one-hot selection is exact on bf16 rows; f32 models keep the gather
@@ -73,9 +73,10 @@ def _windowed_kernel_applies(p, nbr, halo):
         return False
     # Pallas only pays off compiled-for-TPU; on CPU/GPU the kernel would
     # run in INTERPRET mode — orders of magnitude slower than the XLA
-    # gather fallback. Tests opt in via STINET_WINDOWED_INTERPRET=1.
+    # gather fallback. Tests opt in via STINET_WINDOWED_INTERPRET=1
+    # (exact match: "0" must mean disabled, like every other repo knob).
     if (jax.default_backend() != "tpu"
-            and not os.environ.get("STINET_WINDOWED_INTERPRET")):
+            and os.environ.get("STINET_WINDOWED_INTERPRET") != "1"):
         return False
     caps = _halo_caps()
     if p.dtype == jnp.bfloat16:
@@ -132,7 +133,7 @@ def edge_conv_aggregate(p, q, src, dst, num_segments, aggr="mean",
     if (nbr is not None and aggr == "mean" and degree is not None
             and activation is jax.nn.relu):
         ell_deg = degree if ell_degree is None else ell_degree
-        if _windowed_kernel_applies(p, nbr, halo):
+        if _windowed_kernel_applies(p, halo):
             from stinet_tpu.ops.pallas.onehot_gather import (
                 windowed_ell_edge_conv_sum, windowed_ell_edge_conv_sum_f32)
             fn = (windowed_ell_edge_conv_sum_f32

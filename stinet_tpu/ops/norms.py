@@ -34,11 +34,14 @@ def _group_sum(x, graph_id, num_graphs):
     jax.ops.segment_sum on TPU, which made every multi-graph norm layer a
     hot spot (batched B=4 serving measured ~2.9x worse than linear before
     this). Pad rows carry graph_id == num_graphs and match no one-hot
-    column, so they contribute nowhere. Accumulates in >= f32."""
+    column, so they contribute nowhere. Accumulates in >= f32 and RETURNS
+    the accumulator dtype: downcasting here quantized bf16 callers' valid
+    counts (10000 rounds to the nearest bf16), shifting every mean/var;
+    callers cast their final normalized output back to x.dtype."""
     acc_dt = jnp.promote_types(x.dtype, jnp.float32)
     oh = (graph_id[None, :] == jnp.arange(num_graphs,
                                           dtype=graph_id.dtype)[:, None])
-    return (oh.astype(acc_dt) @ x.astype(acc_dt)).astype(x.dtype)
+    return oh.astype(acc_dt) @ x.astype(acc_dt)
 
 
 def _broadcast_rows(table, graph_id, num_graphs):
@@ -54,18 +57,21 @@ def _broadcast_rows(table, graph_id, num_graphs):
 
 
 def _per_graph_mean(x, graph_id, num_graphs, valid_mask):
-    """Masked per-graph mean and count. x: [V, C] -> ([G, C], [G, 1]).
+    """Masked per-graph mean and count. x: [V, C] -> ([G, C], [G, 1]),
+    in the >= f32 accumulator dtype (callers downcast their final output).
     num_graphs == 1 avoids even the one-hot product (the common case:
     batch_size 1 scenes and the single-graph FastInstanceNorm path)."""
-    w = valid_mask.astype(x.dtype)[:, None]
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    w = valid_mask.astype(acc)[:, None]
+    xa = x.astype(acc)
     if num_graphs == 1:
         if _matmul_reduce():
-            s = w.T @ x  # [1, C]; the product applies the mask
+            s = w.T @ xa  # [1, C]; the product applies the mask
         else:
-            s = jnp.sum(x * w, axis=0, keepdims=True)
+            s = jnp.sum(xa * w, axis=0, keepdims=True)
         n = jnp.sum(w, axis=0, keepdims=True)
         return s / jnp.maximum(n, 1.0), n
-    s = _group_sum(x * w, graph_id, num_graphs)
+    s = _group_sum(xa * w, graph_id, num_graphs)
     n = _group_sum(w, graph_id, num_graphs)
     return s / jnp.maximum(n, 1.0), n
 
@@ -73,23 +79,29 @@ def _per_graph_mean(x, graph_id, num_graphs, valid_mask):
 def masked_instance_norm(x, graph_id, num_graphs, valid_mask, eps=1e-5):
     """Per-graph, per-channel standardization (InstanceNorm semantics,
     affine=False as in the reference's default FastInstanceNorm config,
-    fastinstancenorm.py:37-40). Pad rows are zeroed on output."""
-    w = valid_mask.astype(x.dtype)[:, None]
+    fastinstancenorm.py:37-40). Pad rows are zeroed on output. Statistics
+    accumulate in >= f32 regardless of x.dtype; only the normalized
+    output is cast back (a quantized bf16 valid-count shifts every
+    mean/var — no-op for the in-model f32-stat paths)."""
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    w = valid_mask.astype(acc)[:, None]
+    xa = x.astype(acc)
     mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
     if num_graphs == 1:
-        centered = (x - mean[0]) * w
+        centered = (xa - mean[0]) * w
         if _matmul_reduce():
             # centered is already masked; w.T re-selects the valid rows
             var = (w.T @ (centered * centered)) / jnp.maximum(n, 1.0)
         else:
             var = jnp.sum(centered * centered, axis=0, keepdims=True) \
                 / jnp.maximum(n, 1.0)
-        return centered * (var[0] + eps) ** -0.5
-    centered = (x - _broadcast_rows(mean, graph_id, num_graphs)) * w
+        return (centered * (var[0] + eps) ** -0.5).astype(x.dtype)
+    centered = (xa - _broadcast_rows(mean, graph_id, num_graphs)) * w
     var = _group_sum(centered * centered, graph_id, num_graphs) \
         / jnp.maximum(n, 1.0)
     inv = (var + eps) ** -0.5
-    return centered * _broadcast_rows(inv, graph_id, num_graphs)
+    return (centered
+            * _broadcast_rows(inv, graph_id, num_graphs)).astype(x.dtype)
 
 
 def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
@@ -101,22 +113,24 @@ def masked_graph_norm(x, graph_id, num_graphs, valid_mask, weight, bias,
     per-graph segments instead of the equal-size shortcut. Note the variance
     is the *uncentered* second moment of (x - α·mean), as in the reference.
     """
-    w = valid_mask.astype(x.dtype)[:, None]
+    acc = jnp.promote_types(x.dtype, jnp.float32)
+    w = valid_mask.astype(acc)[:, None]
+    xa = x.astype(acc)
     mean, n = _per_graph_mean(x, graph_id, num_graphs, valid_mask)
     if num_graphs == 1:
-        out = (x - mean[0] * mean_scale) * w
+        out = (xa - mean[0] * mean_scale) * w
         if _matmul_reduce():
             var = (w.T @ (out * out)) / jnp.maximum(n, 1.0)
         else:
             var = jnp.sum(out * out, axis=0, keepdims=True) \
                 / jnp.maximum(n, 1.0)
         out = out * (var[0] + eps) ** -0.5
-        return (weight * out + bias) * w
-    out = (x - _broadcast_rows(mean, graph_id, num_graphs) * mean_scale) * w
+        return ((weight * out + bias) * w).astype(x.dtype)
+    out = (xa - _broadcast_rows(mean, graph_id, num_graphs) * mean_scale) * w
     var = _group_sum(out * out, graph_id, num_graphs) / jnp.maximum(n, 1.0)
     std_inv = (var + eps) ** -0.5
     out = out * _broadcast_rows(std_inv, graph_id, num_graphs)
-    return (weight * out + bias) * w
+    return ((weight * out + bias) * w).astype(x.dtype)
 
 
 def masked_batch_norm_stats(x, valid_mask):

@@ -287,7 +287,23 @@ def maybe_data_mesh(config_dict, logger=None):
     if n_req <= 1 or len(jax.devices()) <= 1:
         return None
     from stinet_tpu.parallel.mesh import make_mesh
-    mesh = make_mesh(min(n_req, len(jax.devices())), model_parallel=1)
+    n_data = min(n_req, len(jax.devices()))
+    # graph_sharding (parallel/mesh.py) only shards leaves whose dim0 is
+    # divisible by the data-axis size; vertex/edge buckets are
+    # pad_multiple * 2^k, so a non-power-of-two axis silently degrades to
+    # full replication on every device. Clamp down to a power of two.
+    pow2 = 1 << (n_data.bit_length() - 1)
+    if pow2 != n_data:
+        if logger is not None:
+            logger.warning(
+                "n_gpu=%d is not a power of two; graph buckets "
+                "(pad_multiple * 2^k) would not divide and every leaf "
+                "would fall back to replication — using %d data-parallel "
+                "devices instead", n_data, pow2)
+        n_data = pow2
+        if n_data <= 1:
+            return None
+    mesh = make_mesh(n_data, model_parallel=1)
     if logger is not None:
         logger.info("Data parallelism: %d devices (%s)",
                     mesh.devices.size, jax.devices()[0].platform)
