@@ -81,8 +81,9 @@ class GraphNormLayer(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             mean_scale = self.param("mean_scale", nn.initializers.ones,
                                     (self.features,))
-            return masked_graph_norm(x, level.graph_id, num_graphs, vmask,
-                                     weight, bias, mean_scale, eps=self.eps)
+            return masked_graph_norm(
+                x, level.graph_id, num_graphs, vmask, weight, bias,
+                mean_scale, eps=self.eps).astype(in_dtype)
         if self.norm_type == "batch":
             scale = self.param("scale", nn.initializers.ones,
                                (self.features,))
@@ -103,7 +104,8 @@ class GraphNormLayer(nn.Module):
             else:
                 mean, var = ra_mean.value, ra_var.value
             inv = jax.lax.rsqrt(var + self.eps)
-            return ((x - mean) * inv * scale + bias) * vmask[:, None]
+            return (((x - mean) * inv * scale + bias)
+                    * vmask[:, None]).astype(in_dtype)
         raise NotImplementedError(f"norm type {self.norm_type!r}")
 
 

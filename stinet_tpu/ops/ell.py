@@ -166,13 +166,17 @@ ell_edge_conv_sum.defvjp(_fwd_rule, _bwd_rule)
 
 def ell_neighbor_mean(x, nbr, deg_in):
     """Plain masked neighbor mean in ELL form (SAGE-style aggregation).
-    Differentiable through XLA (not on the STINet hot path)."""
+    Differentiable through XLA (not on the STINet hot path). Slot sums
+    accumulate in >= f32 (the file-wide rule: bf16 slot chains drift and
+    compile to pathological sub-f32 adds on TPU)."""
     deg_i = deg_in.astype(jnp.int32)
-    acc = jnp.zeros_like(x)
+    acc_dt = jnp.promote_types(x.dtype, jnp.float32)
+    acc = jnp.zeros(x.shape, acc_dt)
     for d in range(nbr.shape[1]):
-        acc = acc + jnp.where((d < deg_i)[:, None], _row(x, nbr[:, d]), 0.0)
-    inv = 1.0 / jnp.maximum(deg_in.astype(x.dtype), 1.0)
-    return acc * inv[:, None]
+        acc = acc + jnp.where((d < deg_i)[:, None],
+                              _row(x, nbr[:, d]).astype(acc_dt), 0.0)
+    inv = 1.0 / jnp.maximum(deg_in.astype(acc_dt), 1.0)
+    return (acc * inv[:, None]).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -185,16 +189,21 @@ def ell_neighbor_mean(x, nbr, deg_in):
 
 @jax.custom_vjp
 def ell_pool_mean(x, trace, children, counts):
-    return _pool_sum(x, children, counts) / \
-        jnp.maximum(counts, 1.0)[:, None]
+    s = _pool_sum(x, children, counts)
+    return (s / jnp.maximum(counts.astype(s.dtype), 1.0)[:, None]) \
+        .astype(x.dtype)
 
 
 def _pool_sum(x, children, counts):
+    """Child-slot sum in >= f32 (same accumulation rule as the edge-conv
+    slot loops above); callers divide/cast in the accumulator dtype and
+    downcast their final result."""
     cnt = counts.astype(jnp.int32)
-    acc = jnp.zeros((children.shape[0], x.shape[1]), x.dtype)
+    acc_dt = jnp.promote_types(x.dtype, jnp.float32)
+    acc = jnp.zeros((children.shape[0], x.shape[1]), acc_dt)
     for c in range(children.shape[1]):
-        acc = acc + jnp.where((c < cnt)[:, None], _row(x, children[:, c]),
-                              0.0)
+        acc = acc + jnp.where((c < cnt)[:, None],
+                              _row(x, children[:, c]).astype(acc_dt), 0.0)
     return acc
 
 
@@ -268,7 +277,7 @@ def _unpool_fwd(x, trace, children, counts):
 
 def _unpool_bwd(res, g):
     children, counts = res
-    return _pool_sum(g, children, counts), None, None, None
+    return _pool_sum(g, children, counts).astype(g.dtype), None, None, None
 
 
 ell_unpool.defvjp(_unpool_fwd, _unpool_bwd)

@@ -196,6 +196,13 @@ def make_sharded_stinet(mesh: Mesh, model, axis: str = "data"):
     (flagship config) — other norms carry parameters the manual forward
     doesn't thread yet."""
     assert model.norm == "instance", "sharded path supports instance norm"
+    if getattr(model, "use_label_embedding", False):
+        raise NotImplementedError(
+            "sharded path does not thread the label embedding yet "
+            "(encoder_block_0 is widened by num_embedding; the manual "
+            "forward would mis-split its kernel)")
+    if model.pooling_type not in ("mean", "max"):
+        raise ValueError(f"unknown pooling type {model.pooling_type!r}")
     n_parts = mesh.shape[axis]
     dilations = (list(model.dilations) if model.dilations is not None
                  else [1] * model.n_blocks)
@@ -229,16 +236,12 @@ def make_sharded_train_step(mesh: Mesh, model, tx, use_mask_weighted=True,
     (GSPMD reduces the sharded-vertex contraction)."""
     apply_fn = make_sharded_stinet(mesh, model, axis)
 
+    from stinet_tpu.trainers.graph_common import inpainting_loss
+
     def loss_fn(params, pg):
         out = apply_fn(params, pg)
-        vmask = pg.levels[0].vmask
-        composite = jnp.where(pg.mask > 0, out, pg.color)
-        per = jnp.abs(composite - pg.color)
-        if use_mask_weighted:
-            per = per * jnp.power(0.99, pg.mask)
-        per = per * vmask[:, None]
-        n = jnp.maximum(jnp.sum(vmask) * pg.color.shape[-1], 1.0)
-        return jnp.sum(per) / n
+        return inpainting_loss(out, pg.color, pg.mask, pg.levels[0].vmask,
+                               use_mask_weighted)[0]
 
     @jax.jit
     def train_step(params, opt_state, pg, lr):

@@ -62,6 +62,9 @@ def qem_decimate(vertices: np.ndarray, faces: np.ndarray, target_nv: int):
         int(target_nv), _as_c(out_v, ctypes.c_double),
         _as_c(out_f, ctypes.c_int), _as_c(out_nf, ctypes.c_int),
         _as_c(trace, ctypes.c_int))
+    if out_nv < 0:
+        raise ValueError(
+            f"face ids out of range [0, {nv}) (corrupt mesh data?)")
     return (out_v[:out_nv].copy(), out_f[:int(out_nf[0])].copy(),
             trace.astype(np.int64))
 
@@ -83,6 +86,9 @@ def cluster_decimate(vertices: np.ndarray, faces: np.ndarray,
         float(cell_size), _as_c(out_v, ctypes.c_double),
         _as_c(out_f, ctypes.c_int), _as_c(out_nf, ctypes.c_int),
         _as_c(trace, ctypes.c_int))
+    if out_nv < 0:
+        raise ValueError(
+            f"face ids out of range [0, {nv}) (corrupt mesh data?)")
     return (out_v[:out_nv].copy(), out_f[:int(out_nf[0])].copy(),
             trace.astype(np.int64))
 

@@ -19,6 +19,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 decimator.cpp -o libdecimator.so
 #include <algorithm>
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -155,9 +156,13 @@ class QemMesh {
         // retry later with a strictly growing penalty; once the cost passes
         // 1e18 the edge is permanently rejected instead of re-queued, which
         // bounds the loop (every entry either collapses, goes stale, or is
-        // re-pushed finitely many times before crossing the threshold)
+        // re-pushed finitely many times before crossing the threshold).
+        // Clamp at 0 first: Quadric::eval can go slightly NEGATIVE from
+        // floating-point cancellation, and a negative cost times 1.5
+        // diverges toward -inf — permanently topping the min-heap and
+        // spinning decimate() forever.
         if (e.cost < 1e18)
-          heap.push({e.cost * 1.5 + 1e-9, e.u, e.v,
+          heap.push({std::max(e.cost, 0.0) * 1.5 + 1e-9, e.u, e.v,
                      version_[e.u] + version_[e.v]});
         continue;
       }
@@ -183,7 +188,22 @@ class QemMesh {
     }
     for (int v = 0; v < nv; ++v) {
       int r = remap[find(v)];
-      trace[v] = r >= 0 ? r : 0;
+      if (r < 0) {
+        // isolated vertex (no neighbors: killed in the constructor with no
+        // collapse representative) — trace to the NEAREST survivor, like
+        // the reference's BallTree csv2npy reconstruction, instead of an
+        // arbitrary vertex-0 that would contaminate its coarse cluster
+        double best = 1e300;
+        int best_r = 0;
+        for (int s = 0; s < nv; ++s) {
+          if (remap[s] < 0) continue;
+          const Vec3 d = pos_[s] - pos_[v];
+          const double dd = d.dot(d);
+          if (dd < best) { best = dd; best_r = remap[s]; }
+        }
+        r = best_r;
+      }
+      trace[v] = r;
     }
     int fcount = 0;
     for (auto& f : faces_) {
@@ -301,9 +321,19 @@ extern "C" {
 // QEM decimation to `target_nv` vertices. Buffers out_verts [nv*3],
 // out_faces [nf*3], trace [nv] must be caller-allocated at input size.
 // Returns the output vertex count (<= nv); out_nf receives face count.
+// Face ids straight from raw mesh files index std::vectors in-process:
+// an out-of-range id would be heap corruption, not a recoverable error —
+// validate up front and fail the scene (return -1) instead.
+static bool faces_in_range(int nv, int nf, const int* faces) {
+  for (int i = 0; i < 3 * nf; ++i)
+    if (faces[i] < 0 || faces[i] >= nv) return false;
+  return true;
+}
+
 int qem_decimate(int nv, int nf, const double* verts, const int* faces,
                  int target_nv, double* out_verts, int* out_faces,
                  int* out_nf, int* trace) {
+  if (!faces_in_range(nv, nf, faces)) return -1;
   QemMesh mesh(nv, nf, verts, faces);
   mesh.decimate(target_nv);
   return mesh.extract(out_verts, out_faces, out_nf, trace);
@@ -314,20 +344,32 @@ int qem_decimate(int nv, int nf, const double* verts, const int* faces,
 int cluster_decimate(int nv, int nf, const double* verts, const int* faces,
                      double cell_size, double* out_verts, int* out_faces,
                      int* out_nf, int* trace) {
+  if (!faces_in_range(nv, nf, faces)) return -1;
   double mn[3] = {1e30, 1e30, 1e30};
   for (int i = 0; i < nv; ++i)
     for (int k = 0; k < 3; ++k) mn[k] = std::min(mn[k], verts[3 * i + k]);
 
-  std::unordered_map<uint64_t, int> cells;
+  // EXACT cell coordinates as the map key (vcglib semantics): a hashed
+  // key would let two distinct cells silently merge on collision
+  struct CellHash {
+    size_t operator()(const std::array<int64_t, 3>& c) const {
+      uint64_t h = 1469598103934665603ULL;
+      for (int64_t v : c) {
+        h ^= static_cast<uint64_t>(v);
+        h *= 1099511628211ULL;
+      }
+      return static_cast<size_t>(h);
+    }
+  };
+  std::unordered_map<std::array<int64_t, 3>, int, CellHash> cells;
   std::vector<double> sums;
   std::vector<int> counts;
   const double inv = 1.0 / cell_size;
   for (int i = 0; i < nv; ++i) {
-    const uint64_t cx = static_cast<uint64_t>((verts[3 * i] - mn[0]) * inv);
-    const uint64_t cy = static_cast<uint64_t>((verts[3 * i + 1] - mn[1]) * inv);
-    const uint64_t cz = static_cast<uint64_t>((verts[3 * i + 2] - mn[2]) * inv);
-    const uint64_t key = (cx * 73856093ULL) ^ (cy * 19349663ULL) ^
-                         (cz * 83492791ULL) ^ (cx << 40) ^ (cy << 20) ^ cz;
+    const std::array<int64_t, 3> key = {
+        static_cast<int64_t>((verts[3 * i] - mn[0]) * inv),
+        static_cast<int64_t>((verts[3 * i + 1] - mn[1]) * inv),
+        static_cast<int64_t>((verts[3 * i + 2] - mn[2]) * inv)};
     auto it = cells.find(key);
     int id;
     if (it == cells.end()) {
@@ -347,8 +389,19 @@ int cluster_decimate(int nv, int nf, const double* verts, const int* faces,
     for (int k = 0; k < 3; ++k)
       out_verts[3 * c + k] = sums[3 * c + k] / counts[c];
 
-  // Remap faces, drop degenerates, dedupe.
-  std::unordered_set<uint64_t> seen;
+  // Remap faces, drop degenerates, dedupe — by EXACT sorted id triple
+  // (a 21-bit-packed key silently collided past 2^21 output clusters)
+  struct TriHash {
+    size_t operator()(const std::array<int, 3>& t) const {
+      uint64_t h = 1469598103934665603ULL;
+      for (int v : t) {
+        h ^= static_cast<uint64_t>(static_cast<uint32_t>(v));
+        h *= 1099511628211ULL;
+      }
+      return static_cast<size_t>(h);
+    }
+  };
+  std::unordered_set<std::array<int, 3>, TriHash> seen;
   int fcount = 0;
   for (int f = 0; f < nf; ++f) {
     int a = trace[faces[3 * f]], b = trace[faces[3 * f + 1]],
@@ -356,9 +409,7 @@ int cluster_decimate(int nv, int nf, const double* verts, const int* faces,
     if (a == b || b == c || a == c) continue;
     int s[3] = {a, b, c};
     std::sort(s, s + 3);
-    const uint64_t key = (static_cast<uint64_t>(s[0]) << 42) ^
-                         (static_cast<uint64_t>(s[1]) << 21) ^ s[2];
-    if (!seen.insert(key).second) continue;
+    if (!seen.insert({s[0], s[1], s[2]}).second) continue;
     out_faces[3 * fcount] = a;
     out_faces[3 * fcount + 1] = b;
     out_faces[3 * fcount + 2] = c;
@@ -376,9 +427,10 @@ int cluster_decimate(int nv, int nf, const double* verts, const int* faces,
 // pre-filled with +inf by the caller.
 void rasterize_depth(int nv, int nf, const double* pts, const int* faces,
                      int width, int height, double* zbuf) {
-  (void)nv;
   for (int f = 0; f < nf; ++f) {
     const int a = faces[3 * f], b = faces[3 * f + 1], c = faces[3 * f + 2];
+    if (a < 0 || a >= nv || b < 0 || b >= nv || c < 0 || c >= nv)
+      continue;  // corrupt face id: skip rather than read OOB
     const double ax = pts[3 * a], ay = pts[3 * a + 1], az = pts[3 * a + 2];
     const double bx = pts[3 * b], by = pts[3 * b + 1], bz = pts[3 * b + 2];
     const double cx = pts[3 * c], cy = pts[3 * c + 1], cz = pts[3 * c + 2];

@@ -506,3 +506,36 @@ def test_offline_rcm_relabel_equivalence():
     finally:
         B.reorder_bandwidth = orig
     assert g.levels[0].edges.halo is not None
+
+
+def test_native_decimator_robustness():
+    """Native decimator hardening: corrupt face ids fail loudly (they
+    index C++ vectors in-process), isolated vertices trace to their exact
+    nearest survivor (reference csv2npy BallTree semantics), and the
+    flip-guard retry penalty cannot diverge on negative QEM costs."""
+    from stinet_tpu.preprocessing import native
+    from stinet_tpu.utils.hostile import terrain_mesh
+
+    v, f = terrain_mesh(1500, seed=2)
+    bad = f.copy()
+    bad[0, 0] = 10 ** 6
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="out of range"):
+        native.qem_decimate(v, bad, 400)
+    with _pytest.raises(ValueError, match="out of range"):
+        native.cluster_decimate(v, bad, 2.0)
+
+    # isolated vertices (no faces reference them): nearest-survivor trace
+    v3 = np.vstack([v, [[500.0, 500.0, 500.0]],
+                    [v[0] + np.array([0.01, 0.0, 0.0])]])
+    ov, of, tr = native.qem_decimate(v3, f, 400)
+    for idx in (-2, -1):
+        d_all = np.linalg.norm(ov - v3[idx], axis=1)
+        got = np.linalg.norm(ov[tr[idx]] - v3[idx])
+        np.testing.assert_allclose(got, d_all.min(), rtol=0, atol=1e-9)
+
+    # decimate terminates on meshes that exercise the flip guard heavily
+    # (aggressive target on an irregular surface) — bounded retries even
+    # when float cancellation produces tiny negative costs
+    ov2, of2, tr2 = native.qem_decimate(v, f, 40)
+    assert len(ov2) <= 64 and tr2.max() < len(ov2)

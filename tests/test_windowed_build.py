@@ -113,7 +113,7 @@ def test_full_model_windowed_f32_bit_exact(monkeypatch):
     from stinet_tpu.ops.message_passing import _windowed_kernel_applies
     assert any(
         e.nbr is not None and _windowed_kernel_applies(
-            jnp.zeros((e.nbr.shape[0], 256), jnp.float32), e.nbr, e.halo)
+            jnp.zeros((e.nbr.shape[0], 256), jnp.float32), e.halo)
         for e in (lev.edges for lev in g_win.levels)), \
         "no level dispatches the f32 kernel — test is vacuous"
 
