@@ -161,6 +161,11 @@ class ScanNetGraphColorDataSet:
         dirs = sorted(dirs)
         if max_num_scenes >= 0:
             dirs = dirs[:max_num_scenes]
+        # Multi-host: each process keeps a disjoint round-robin shard of
+        # the (identically ordered) scene list; epoch metrics are averaged
+        # across hosts in BaseTrainer. Identity single-process.
+        from stinet_tpu.parallel import multihost
+        dirs = multihost.local_scene_shard(dirs)
 
         self.index2filenames: List[str] = []
         self.index2maskfiles: List[Dict[int, str]] = []

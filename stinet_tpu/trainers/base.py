@@ -8,6 +8,7 @@ from abc import abstractmethod
 import numpy as np
 
 from stinet_tpu.core.writer import TensorboardWriter
+from stinet_tpu.parallel import multihost
 
 
 class BaseTrainer:
@@ -34,7 +35,8 @@ class BaseTrainer:
         self.checkpoint_dir = config.save_dir
         self.writer = TensorboardWriter(
             config.log_dir, self.logger,
-            cfg.get("tensorboard", False) and not config.dry_run)
+            cfg.get("tensorboard", False) and not config.dry_run
+            and multihost.is_primary())
 
     @abstractmethod
     def _train_epoch(self, epoch):
@@ -51,6 +53,11 @@ class BaseTrainer:
             result = self._train_epoch(epoch)
             log = {"epoch": epoch, "time elapsed": time.perf_counter() - t0}
             log.update(result)
+            # Multi-host: each process trained/validated on its own scene
+            # shard — average the scalars so best/early-stop/plateau
+            # decisions below are identical on every host (identity when
+            # single-process).
+            log = multihost.mean_scalar_metrics(log)
 
             for key, value in log.items():
                 self.logger.info("    {:15s}: {}".format(str(key), value))
@@ -84,10 +91,18 @@ class BaseTrainer:
                         break
 
             if not self.config.dry_run:
+                # One host writes; all hosts wait at the same point so a
+                # slow serialization can't skew the next epoch's collective
+                # timing (every process reaches sync_hosts — the monitor
+                # decisions above are host-uniform after the metric mean).
                 if epoch % self.save_period == 0:
-                    self._save_checkpoint(epoch)
+                    if multihost.is_primary():
+                        self._save_checkpoint(epoch)
+                    multihost.sync_hosts("save_checkpoint")
                 if best:
-                    self._save_best(epoch)
+                    if multihost.is_primary():
+                        self._save_best(epoch)
+                    multihost.sync_hosts("save_best")
 
     def _observe_lr(self, log):
         """Feed the monitored metric to stateful LR schedulers

@@ -284,6 +284,18 @@ def maybe_data_mesh(config_dict, logger=None):
     """Mesh over min(n_gpu, visible devices) data-parallel devices, or None
     when the config requests a single device (the reference default)."""
     n_req = int(config_dict.get("n_gpu", 1) or 1)
+    if jax.process_count() > 1:
+        # Multi-host launch: the mesh must span ALL global devices (every
+        # process contributes its local chips; a partial mesh cannot be
+        # built from one process). n_gpu is advisory here.
+        from stinet_tpu.parallel.multihost import make_global_mesh
+        mesh = make_global_mesh(model_parallel=1,
+                                axis_names=("data", "model"))
+        if logger is not None:
+            logger.info(
+                "Multi-host data parallelism: %d global devices over %d "
+                "processes", mesh.devices.size, jax.process_count())
+        return mesh
     if n_req <= 1 or len(jax.devices()) <= 1:
         return None
     from stinet_tpu.parallel.mesh import make_mesh
@@ -321,8 +333,11 @@ def replicate_to_mesh(mesh, tree):
 
 def place_graph_on_mesh(mesh, graph):
     """Shard a batch graph over the mesh's `data` axis; identity when mesh
-    is None."""
+    is None. Multi-host, each process passes its LOCAL batch and the
+    leaves are stitched into global arrays spanning all hosts
+    (parallel/multihost.py:global_graph_from_local; a plain device_put
+    single-process)."""
     if mesh is None:
         return graph
-    from stinet_tpu.parallel.mesh import graph_sharding
-    return jax.device_put(graph, graph_sharding(graph, mesh))
+    from stinet_tpu.parallel.multihost import global_graph_from_local
+    return global_graph_from_local(mesh, graph)

@@ -23,7 +23,8 @@ from stinet_tpu.models.gan_networks import gan_loss
 from stinet_tpu.models.losses import total_variation_loss
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
-    TrainState, build_optimizer, step_lr, host_metrics)
+    TrainState, build_optimizer, step_lr, host_metrics,
+    maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh)
 
 
 @TRAINERS.register("Inpainting2DTrainer")
@@ -127,6 +128,16 @@ class Inpainting2DTrainer(BaseTrainer):
 
         if config.resume is not None:
             self._resume_checkpoint(config.resume)
+
+        # Data parallelism over a device mesh behind the reference's n_gpu
+        # key, same pattern as the 3D/segmentation trainers: replicate
+        # params/opt-state, shard each batch's vertex/pixel dim over `data`
+        # (GSPMD inserts the gradient psum; the image graphs' fixed sizes
+        # divide the power-of-two axis).
+        self._mesh = maybe_data_mesh(config.config, logger)
+        self.state = replicate_to_mesh(self._mesh, self.state)
+        if self.disc_state is not None:
+            self.disc_state = replicate_to_mesh(self._mesh, self.disc_state)
 
         metrics = ["loss", "l1", "mse", "psnr", "graph_tv", "graph_lap_var"]
         if self.lpips is not None:
@@ -458,6 +469,7 @@ class Inpainting2DTrainer(BaseTrainer):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
             if self.profiler is not None:
                 self.profiler.step()
+            graph = place_graph_on_mesh(self._mesh, graph)
             if self.use_gan:
                 self.state, self.disc_state, metrics = self._gan_step(
                     self.state, self.disc_state, graph, lr)
@@ -489,7 +501,7 @@ class Inpainting2DTrainer(BaseTrainer):
         n_img = self.img_size * self.img_size
         first = self._fid.num_samples("train_gt") == 0
         for graph, _ in self.data_loader.sample_train_loader:
-            _, composite = self._eval_step(self.state, graph)
+            _, composite = self._eval_step(self.state, place_graph_on_mesh(self._mesh, graph))
             b = graph.num_graphs
             imgs = np.asarray(composite)[:b * n_img].reshape(
                 b, self.img_size, self.img_size, 3)
@@ -514,7 +526,7 @@ class Inpainting2DTrainer(BaseTrainer):
         n_img = self.img_size * self.img_size
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step(batch_idx, "valid")
-            metrics, composite = self._eval_step(self.state, graph)
+            metrics, composite = self._eval_step(self.state, place_graph_on_mesh(self._mesh, graph))
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
             if fid_epoch:
@@ -546,7 +558,7 @@ class Inpainting2DTrainer(BaseTrainer):
                              self.data_loader.sample_val_loader)):
             preds = []
             for graph, _ in loader:
-                _, composite = self._eval_step(self.state, graph)
+                _, composite = self._eval_step(self.state, place_graph_on_mesh(self._mesh, graph))
                 b = graph.num_graphs
                 preds.append(np.asarray(composite)[:b * n_img].reshape(
                     b, self.img_size, self.img_size, 3))

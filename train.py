@@ -15,6 +15,11 @@ DEFAULT_SEED = 123
 
 
 def main(config):
+    # Multi-host entry: no-op single-process; on a managed multi-process
+    # launch (TPU pod) initializes jax.distributed before any device use.
+    from stinet_tpu.parallel import multihost
+    multihost.initialize()
+
     logger = config.get_logger("train")
 
     seed = config.get("seed") if config.get("seed") is not None \
