@@ -208,14 +208,16 @@ def inpainting_metrics(composite, graph, loss):
     lvl0 = graph.levels[0]
     vmask = lvl0.vertex_mask()
     region = (graph.mask[:, 0] > 0).astype(jnp.float32)
+    # one shared neighbor-gather pass for both edge metrics (ELL fast path;
+    # COO fallback inside)
+    tv, lap_var = gm.graph_tv_and_lap_var(
+        composite, lvl0.edges, lvl0.num_vertices)
     return {
         "loss": loss,
         "l1": gm.l1(composite, graph.color, vmask),
         "mse": gm.mse(composite, graph.color, vmask),
-        "graph_tv": gm.graph_total_variation(
-            composite, lvl0.edges, lvl0.num_vertices),
-        "graph_lap_var": gm.graph_laplace_variance(
-            composite, lvl0.edges, lvl0.num_vertices),
+        "graph_tv": tv,
+        "graph_lap_var": lap_var,
         "psnr": gm.psnr(composite, graph.color, vmask, data_range=2.0),
         "psnr_mask_only": gm.masked_psnr(
             composite, graph.color, vmask, region, data_range=2.0),

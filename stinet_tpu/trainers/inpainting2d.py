@@ -315,11 +315,9 @@ class Inpainting2DTrainer(BaseTrainer):
             "l1": gm.l1(composite, graph.color, vmask),
             "mse": gm.mse(composite, graph.color, vmask),
             "psnr": gm.psnr(composite, graph.color, vmask, data_range=2.0),
-            "graph_tv": gm.graph_total_variation(
-                composite, lvl0.edges, lvl0.num_vertices),
-            "graph_lap_var": gm.graph_laplace_variance(
-                composite, lvl0.edges, lvl0.num_vertices),
         }
+        out["graph_tv"], out["graph_lap_var"] = gm.graph_tv_and_lap_var(
+            composite, lvl0.edges, lvl0.num_vertices)
         if self.lpips is not None:
             n = graph.num_graphs * self.img_size * self.img_size
             out[self.lpips_tag] = jnp.mean(self.lpips(

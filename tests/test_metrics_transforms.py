@@ -110,3 +110,34 @@ def test_random_linear_transformation_flip(rng):
         s, np.random.default_rng(0))
     np.testing.assert_allclose(out.x[:, 6], -pos[:, 0], rtol=1e-6)
     np.testing.assert_allclose(out.x[:, 7:9], pos[:, 1:3], rtol=1e-6)
+
+def test_edge_metrics_ell_matches_coo(rng):
+    """graph_tv_and_lap_var's ELL fast path (shared slot-gather pass +
+    spill) must agree with the COO formulation on a spill-heavy edge set,
+    including adversarial (non-zero) pad-row contents."""
+    v_pad, e = 96, 400
+    valid = v_pad - 1
+    x = rng.uniform(-1, 1, size=(v_pad, 3)).astype(np.float32)  # pads random
+    src, dst = make_edges(rng, valid, e)
+    # hub vertex: degree far past the ELL cap quantile -> forced COO spill
+    hub = np.stack([rng.integers(0, valid, size=48),
+                    np.zeros(48, dtype=np.int64)])
+    edges = np.concatenate([np.stack([src, dst]), hub], axis=1)
+    es = _pad_edge_set(edges, 512, v_pad - 1, v_pad)
+    assert es.nbr is not None, "test must exercise the ELL fast path"
+    assert es.spill_src is not None and int(
+        (es.spill_dst < valid).sum()) > 0, "test must exercise spill"
+    coo = es.replace(nbr=None)
+
+    xj, nv = jnp.asarray(x), jnp.int32(valid)
+    tv_ell, lap_ell = gm.graph_tv_and_lap_var(xj, es, nv)
+    tv_coo = gm.graph_total_variation(xj, coo, nv)
+    lap_coo = gm.graph_laplace_variance(xj, coo, nv)
+    np.testing.assert_allclose(float(tv_ell), float(tv_coo), rtol=1e-5)
+    np.testing.assert_allclose(float(lap_ell), float(lap_coo), rtol=1e-4)
+    # the single-metric entry points dispatch to the same fused path
+    np.testing.assert_allclose(
+        float(gm.graph_total_variation(xj, es, nv)), float(tv_ell), rtol=0)
+    np.testing.assert_allclose(
+        float(gm.graph_laplace_variance(xj, es, nv)), float(lap_ell),
+        rtol=0)
