@@ -128,7 +128,14 @@ class ScanNetGraphColorDataSet:
         self._no_train_cropped = no_train_cropped
         self._num_crops_per_scene = num_crops_per_scene
         self._transform = transform
-        self._rng = np.random.default_rng(seed)
+        # Per-sample randomness (mask pick, transforms) is STATELESS:
+        # keyed by (seed, epoch, index) instead of a sequential stream, so
+        # a sample's augmentation does not depend on which process/order
+        # accessed it — the invariant the multi-host stacked loader's
+        # single-process-equivalence rests on (tests/test_stacked.py).
+        # Loaders advance the epoch via set_epoch.
+        self._seed = seed
+        self._epoch = 0
 
         split_file = (SCANNET_TRAIN_FILE if is_train else
                       (SCANNET_TEST_FILE if benchmark else SCANNET_VAL_FILE))
@@ -161,11 +168,6 @@ class ScanNetGraphColorDataSet:
         dirs = sorted(dirs)
         if max_num_scenes >= 0:
             dirs = dirs[:max_num_scenes]
-        # Multi-host: each process keeps a disjoint round-robin shard of
-        # the (identically ordered) scene list; epoch metrics are averaged
-        # across hosts in BaseTrainer. Identity single-process.
-        from stinet_tpu.parallel import multihost
-        dirs = multihost.local_scene_shard(dirs)
 
         self.index2filenames: List[str] = []
         self.index2maskfiles: List[Dict[int, str]] = []
@@ -190,11 +192,19 @@ class ScanNetGraphColorDataSet:
             return load_scene_npz(npz, self._end_level)
         return load_scene_pt(pt, self._end_level)
 
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
+    def _sample_rng(self, index: int):
+        return np.random.default_rng(
+            (int(self._seed), int(self._epoch), int(index)))
+
     def __getitem__(self, index: int) -> RawHierarchy:
+        rng = self._sample_rng(index)
         scene = self.index2filenames[index]
         mask_files = self.index2maskfiles[index]
         mask_path = mask_files[
-            list(mask_files)[int(self._rng.integers(0, len(mask_files)))]]
+            list(mask_files)[int(rng.integers(0, len(mask_files)))]]
 
         (vertices, edges, traces, dilated, dists,
          banded) = self._load_graph(scene)
@@ -230,17 +240,27 @@ class ScanNetGraphColorDataSet:
             traces=[t for t in use_traces],
             dilated=dilated, name=scene, banded=banded)
         if self._transform is not None:
-            sample = self._transform(sample, self._rng)
+            sample = self._transform(sample, rng)
         return sample
 
 
 class _SceneLoader:
     """Yields (HierarchicalGraph, names); buckets vertex/edge counts
     geometrically so arbitrary scene sizes hit a bounded set of compiled
-    shapes."""
+    shapes.
+
+    With `stacked`, every batch is a STACKED graph
+    (graph/build.py:build_stacked_graph — leaves carry a leading scene
+    axis for the vmapped step) against a run-frozen signature, so the
+    whole run compiles once. `batch_size` is then the GLOBAL batch size:
+    multi-process, every host walks the same shuffled global schedule
+    (identical dataset + seed) and builds only its process_index slice of
+    each global batch — equal step counts and identical leaf shapes on
+    every host by construction."""
 
     def __init__(self, dataset, batch_size, shuffle, seed=0,
-                 pad_multiple=512, windowed=False):
+                 pad_multiple=512, windowed=False, stacked=False,
+                 signature_samples=8):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -250,22 +270,73 @@ class _SceneLoader:
         # one-hot MXU kernels (config key "windowed_graphs"; measured wins
         # for bf16 models, see ops/pallas/README.md)
         self.windowed = windowed
+        self.stacked = stacked
+        self._epoch = 0
+        self.signature = None
+        if stacked and len(dataset):
+            from stinet_tpu.graph.build import freeze_stacked_signature
+            from stinet_tpu.parallel import multihost
+            # deterministic evenly-spaced sample indices: every host
+            # freezes the same signature from the same scenes
+            k = min(signature_samples, len(dataset))
+            sel = np.linspace(0, len(dataset) - 1, k).astype(int)
+            # per-sample randomness is stateless (seed, epoch, index), so
+            # this pre-pass cannot perturb the training stream
+            samples = [dataset[int(i)] for i in sel]
+            v_buckets, widths = freeze_stacked_signature(
+                samples, pad_multiple=pad_multiple, geometric=True,
+                windowed=windowed)
+            # init-time, main-thread validation collective (identity
+            # single-process); also covers datasets that differ per host
+            # by mistake
+            widths = multihost.merge_widths_across_hosts(widths)
+            self.signature = (v_buckets, widths)
 
     def __len__(self):
         return max(len(self.dataset) // self.batch_size, 1) \
             if len(self.dataset) else 0
 
     def _produce(self):
+        # advance the dataset's stateless per-sample RNG key space (one
+        # "epoch" per full iteration, counting _example_graph's probe)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(idx)
+        if not self.stacked:
+            for b in range(len(self)):
+                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                samples = [self.dataset[i] for i in sel]
+                yield (build_hierarchical_graph(
+                    samples, pad_multiple=self.pad_multiple, geometric=True,
+                    windowed=self.windowed),
+                    [s.name for s in samples])
+            return
+        from stinet_tpu.graph.build import build_stacked_graph
+        from stinet_tpu.parallel import multihost
+        p, np_ = multihost.process_index(), multihost.process_count()
+        assert self.batch_size % np_ == 0, \
+            f"global batch {self.batch_size} not divisible by " \
+            f"{np_} processes"
+        bl = self.batch_size // np_
         for b in range(len(self)):
             sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = [self.dataset[i] for i in sel]
-            yield (build_hierarchical_graph(
-                samples, pad_multiple=self.pad_multiple, geometric=True,
-                windowed=self.windowed),
-                [s.name for s in samples])
+            if len(sel) < self.batch_size:
+                # tail repeat keeps the [B] signature (single short
+                # dataset batch); duplicated scenes only reweight the
+                # epoch slightly — same bucketing trade as serving
+                sel = np.concatenate(
+                    [sel, sel[:self.batch_size - len(sel)]])
+            local = sel[p * bl:(p + 1) * bl]
+            samples = [self.dataset[int(i)] for i in local]
+            g, _ = build_stacked_graph(
+                samples, v_buckets=self.signature[0],
+                widths=self.signature[1],
+                pad_multiple=self.pad_multiple, geometric=True,
+                windowed=self.windowed)
+            yield g, [s.name for s in samples]
 
     def __iter__(self):
         # overlap disk IO + padding with device compute
@@ -307,12 +378,18 @@ class ScanNetGraphColorDataLoader:
                           train_cropped=not c.get("no_train_cropped", True))
 
         windowed = bool(c.get("windowed_graphs", False))
+        # stacked batching (vmapped per-scene tables): required for
+        # multi-host runs, optional single-host (config "stacked_batching")
+        from stinet_tpu.parallel import multihost
+        stacked = bool(c.get("stacked_batching", False)) \
+            or multihost.process_count() > 1
+        self.stacked = stacked
         self.train_loader = _SceneLoader(
             self.train_dataset, c["train_batch_size"], shuffle=True,
-            seed=seed, windowed=windowed)
+            seed=seed, windowed=windowed, stacked=stacked)
         self.val_loader = _SceneLoader(
             self.val_dataset, c["test_batch_size"], shuffle=False,
-            windowed=windowed)
+            windowed=windowed, stacked=stacked)
 
     def get_mesh(self, scene_name):
         """Original full-resolution scan mesh for visualization (reference

@@ -10,6 +10,7 @@ import dataclasses
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import jax
 import numpy as np
 
 from stinet_tpu.graph.hierarchy import EdgeSet, GraphLevel, HierarchicalGraph
@@ -548,3 +549,253 @@ def grid_hierarchy(img_size: int, end_level: int, decimation: int = 2):
                for l in range(end_level - 1)]
         _GRID_CACHE[key] = (nv, edges, trs)
     return _GRID_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# Stacked batching: each scene as its OWN single-scene padded graph, leaves
+# stacked to [B, ...] for a vmapped step. Gathers never cross scene rows
+# (each vmap slice is an independent per-scene table), which sidesteps the
+# measured gather-locality cliff of concatenated multi-scene tables
+# (BENCH_NOTES batched-serving probe: level-0 aggregate 1.6 ms at 65k rows
+# vs 9.0 ms at 4x rows) and gives multi-host data parallelism scene-local
+# index semantics by construction. The vertex/edge buckets are forced to a
+# common value; the remaining DATA-DEPENDENT table dims (ELL slot width,
+# reverse width, spill length, children width, windowed halos) are padded
+# up to explicit `widths` so every stacked batch shares one compiled
+# signature (trash-filled rows/columns are masked everywhere, so padding is
+# semantically inert — same invariants as serving's running-max variant).
+# ---------------------------------------------------------------------------
+
+def table_widths(graph: HierarchicalGraph) -> Dict[tuple, int]:
+    """Data-dependent table dims of a built graph, keyed by
+    (level, dist, field) with dist None for the base edge set; windowed
+    halos ride along as (level, dist, "halo"). Merge dicts across graphs /
+    hosts with `merge_widths` and apply with `pad_tables_to_widths`."""
+    out = {}
+
+    def es_widths(es, li, dk):
+        if es is None:
+            return
+        out[(li, dk, "edges")] = int(es.src.shape[0])
+        if es.nbr is not None:
+            out[(li, dk, "nbr")] = int(es.nbr.shape[1])
+            out[(li, dk, "rev_dst")] = int(es.rev_dst.shape[1])
+            out[(li, dk, "spill")] = (0 if es.spill_src is None
+                                      else int(es.spill_src.shape[0]))
+            if es.halo is not None:
+                out[(li, dk, "halo")] = int(es.halo)
+
+    for li, lev in enumerate(graph.levels):
+        es_widths(lev.edges, li, None)
+        for d, es in lev.dilated.items():
+            es_widths(es, li, int(d))
+    for l, ch in enumerate(graph.children):
+        if ch is not None:
+            out[(l, None, "children")] = int(np.asarray(ch).shape[1])
+    return out
+
+
+def merge_widths(dicts) -> Dict[tuple, int]:
+    """Key-union max. A graph missing a key another has (ELL bail, missing
+    dilation distance) cannot share a stacked signature — caller's treedef
+    check raises."""
+    merged = {}
+    for d in dicts:
+        for k, v in d.items():
+            merged[k] = max(merged.get(k, 0), int(v))
+    return merged
+
+
+def pad_tables_to_widths(graph: HierarchicalGraph,
+                         widths: Dict[tuple, int]) -> HierarchicalGraph:
+    """Pad every data-dependent table dim up to `widths` (trash-filled;
+    see module comment). Widths smaller than the built dims are ignored
+    (padding only grows)."""
+    def pad_es(es, li, dk, trash):
+        if es is None:
+            return es
+        upd = {}
+        w = widths.get((li, dk, "edges"), 0)
+        cur = int(es.src.shape[0])
+        if w > cur:
+            # trash self-edges at the tail keep dst-sortedness (trash is
+            # the max vertex id)
+            for f in ("src", "dst"):
+                arr = np.asarray(getattr(es, f))
+                upd[f] = np.concatenate(
+                    [arr, np.full(w - cur, trash, arr.dtype)])
+        if es.nbr is not None:
+            for f in ("nbr", "rev_dst"):
+                arr = np.asarray(getattr(es, f))
+                w = widths.get((li, dk, f), 0)
+                if w > arr.shape[1]:
+                    upd[f] = np.concatenate(
+                        [arr, np.full((arr.shape[0], w - arr.shape[1]),
+                                      trash, arr.dtype)], axis=1)
+            cur = (0 if es.spill_src is None
+                   else int(es.spill_src.shape[0]))
+            w = widths.get((li, dk, "spill"), 0)
+            if w > cur:
+                for f, arr in (("spill_src", es.spill_src),
+                               ("spill_dst", es.spill_dst)):
+                    base = (np.asarray(arr) if arr is not None
+                            else np.zeros((0,), np.int32))
+                    upd[f] = np.concatenate(
+                        [base, np.full(w - cur, trash, np.int32)])
+            h = widths.get((li, dk, "halo"))
+            if h is not None and es.halo is not None and h > es.halo:
+                # a larger halo stays a correct band bound for the
+                # windowed kernel's sliding window
+                upd["halo"] = h
+        return es.replace(**upd) if upd else es
+
+    new_levels = []
+    for li, lev in enumerate(graph.levels):
+        trash = int(lev.graph_id.shape[0]) - 1
+        edges = pad_es(lev.edges, li, None, trash)
+        dil = {d: pad_es(es, li, int(d), trash)
+               for d, es in lev.dilated.items()}
+        new_levels.append(lev.replace(edges=edges, dilated=dil))
+    children = []
+    for l, ch in enumerate(graph.children):
+        if ch is None:
+            children.append(ch)
+            continue
+        arr = np.asarray(ch)
+        w = widths.get((l, None, "children"), 0)
+        if w > arr.shape[1]:
+            fine_trash = int(graph.levels[l].graph_id.shape[0]) - 1
+            arr = np.concatenate(
+                [arr, np.full((arr.shape[0], w - arr.shape[1]),
+                              fine_trash, arr.dtype)], axis=1)
+        children.append(arr)
+    return graph.replace(levels=tuple(new_levels),
+                         children=tuple(children))
+
+
+def stack_graphs(graphs: Sequence[HierarchicalGraph]) -> HierarchicalGraph:
+    """Stack same-signature single-scene graphs to [B, ...] leaves for a
+    vmapped step. Raises ValueError on treedef/shape mismatch (different
+    buckets, ELL/COO layout or dilation sets) — pad_tables_to_widths with
+    merged widths first."""
+    ref = jax.tree_util.tree_structure(graphs[0])
+    for g in graphs[1:]:
+        if jax.tree_util.tree_structure(g) != ref:
+            raise ValueError(
+                "scenes produce different graph treedefs (static halo or "
+                "ELL/COO layout mismatch); cannot stack")
+    try:
+        return jax.tree_util.tree_map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *graphs)
+    except ValueError as e:
+        raise ValueError(
+            f"scenes land on different table shapes ({e}); force common "
+            "v_buckets and pad_tables_to_widths first") from e
+
+
+def build_stacked_graph(samples: Sequence[RawHierarchy],
+                        v_buckets: Optional[Sequence[int]] = None,
+                        widths: Optional[Dict[tuple, int]] = None,
+                        pad_multiple: int = 128,
+                        geometric: bool = False,
+                        ell_cap_quantile: float = 0.97,
+                        windowed: bool = False,
+                        window_quantile: float = 0.999):
+    """Build each sample as a single-scene graph at FORCED common vertex
+    buckets, pad the data-dependent table dims to a shared signature, and
+    stack. Returns (stacked_graph, widths_used). Pass `widths` (e.g. the
+    frozen run-wide signature, or a cross-host max) to pin the signature;
+    otherwise the batch maxima are used. Builds fan out on a thread pool
+    (the native builder releases the GIL)."""
+    num_levels = len(samples[0].num_vertices)
+    if v_buckets is None:
+        v_buckets = [
+            max(bucket_size(int(s.num_vertices[l]) + 1, pad_multiple,
+                            geometric) for s in samples)
+            for l in range(num_levels)]
+
+    # union of dilation distances per level: a crop whose dilated set for
+    # some distance emptied out must still build an (empty) edge set, or
+    # the per-scene treedefs diverge (the concatenated builder gets this
+    # union for free). Frozen runs inherit the union from `widths` keys.
+    union_dists = {l: {int(d) for s in samples for d in s.dilated.get(l, {})}
+                   for l in range(num_levels)}
+    if widths is not None:
+        for (li, dk, _f) in widths:
+            if dk is not None:
+                union_dists.setdefault(li, set()).add(int(dk))
+    if any(union_dists[l] for l in union_dists):
+        fixed = []
+        for s in samples:
+            dil = {l: dict(s.dilated.get(l, {})) for l in s.dilated}
+            changed = False
+            for l, dists in union_dists.items():
+                for d in dists:
+                    if d not in dil.setdefault(l, {}):
+                        dil[l][d] = np.zeros((2, 0), np.int64)
+                        changed = True
+            fixed.append(dataclasses.replace(s, dilated=dil)
+                         if changed else s)
+        samples = fixed
+
+    def _one(s):
+        return build_hierarchical_graph(
+            [s], v_buckets=v_buckets, pad_multiple=pad_multiple,
+            geometric=geometric, ell_cap_quantile=ell_cap_quantile,
+            windowed=windowed, window_quantile=window_quantile)
+
+    w_env = os.environ.get("STINET_BUILD_WORKERS")
+    nw = int(w_env) if w_env else min(len(samples), os.cpu_count() or 4)
+    if nw <= 1 or len(samples) <= 1:
+        graphs = [_one(s) for s in samples]
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=nw) as pool:
+            graphs = list(pool.map(_one, samples))
+    batch_w = merge_widths([table_widths(g) for g in graphs])
+    if widths is not None:
+        over = {k: (batch_w[k], widths.get(k, 0)) for k in batch_w
+                if batch_w[k] > widths.get(k, 0)}
+        if over:
+            raise ValueError(
+                f"scene exceeds the frozen stacked signature "
+                f"{{key: (built, frozen)}} = {over}. Raise "
+                "stacked_width_margin (config) or rebuild the frozen "
+                "widths over a larger sample.")
+        batch_w = dict(widths)
+    graphs = [pad_tables_to_widths(g, batch_w) for g in graphs]
+    return stack_graphs(graphs), batch_w
+
+
+def freeze_stacked_signature(samples: Sequence[RawHierarchy],
+                             pad_multiple: int = 128,
+                             geometric: bool = False,
+                             windowed: bool = False,
+                             margin: float = 1.25):
+    """One run-wide stacked signature (v_buckets, widths) from
+    representative samples: per-level vertex buckets and data-dependent
+    table widths are measured by building the samples, then margined by
+    `margin` so unsampled scenes fit (a scene that still exceeds the
+    frozen signature raises a clear ValueError at build time). A frozen
+    signature means ONE compiled step for the whole run — and, multi-host,
+    identical leaf shapes on every process with no per-batch collectives
+    (each host freezes from the same deterministic sample set; validate
+    with parallel/multihost.py:merge_widths_across_hosts)."""
+    num_levels = len(samples[0].num_vertices)
+    v_buckets = [
+        bucket_size(
+            int(max(s.num_vertices[l] for s in samples) * margin) + 1,
+            pad_multiple, geometric)
+        for l in range(num_levels)]
+    _, widths = build_stacked_graph(
+        samples, v_buckets=v_buckets, pad_multiple=pad_multiple,
+        geometric=geometric, windowed=windowed)
+    out = {}
+    for k, w in widths.items():
+        if k[2] == "halo":
+            out[k] = w  # band bounds are ladder values; do not inflate
+        elif k[2] in ("nbr", "rev_dst", "children"):
+            out[k] = int(np.ceil(w * margin))
+        else:  # edges / spill lengths: keep lane-friendly multiples
+            out[k] = bucket_size(int(w * margin), 128)
+    return v_buckets, out

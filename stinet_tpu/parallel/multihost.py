@@ -128,44 +128,109 @@ def local_scene_shard(items, index=None, count=None):
 
 
 def global_graph_from_local(mesh, local_graph, sharding_fn=None):
-    """Assemble per-host padded graph batches into global arrays on `mesh`.
-
-    Each host builds its OWN local batch (its shard of scenes through the
-    normal loader/padding path, all hosts using the same bucket sizes so
-    global shapes agree); this stitches the host-local leaves into global
-    `jax.Array`s whose data axis spans all hosts. Single-process this is
-    exactly `place_graph_on_mesh` (a device_put). `sharding_fn` defaults to
-    `parallel.mesh.graph_sharding` (vertex/edge dims over "data",
-    scalars replicated)."""
+    """Place a CONCATENATED batch graph on `mesh` (vertex/edge dims over
+    "data", scalars replicated) — single-process only. A concatenated
+    graph cannot be stitched across processes: its vertex indices are
+    host-local and its num_vertices/num_edges scalars imply a prefix
+    validity mask, both of which are wrong in a cross-host address space.
+    Multi-host data parallelism uses the STACKED layout instead
+    (place_stacked_graph + graph/build.py:build_stacked_graph), where
+    every vmap slice is a self-contained single-scene graph."""
     from stinet_tpu.parallel.mesh import graph_sharding
-    shardings = (sharding_fn or graph_sharding)(local_graph, mesh)
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "concatenated batch graphs are single-process only; use "
+            "stacked batching for multi-host runs (stacked_batching "
+            "config knob / place_stacked_graph)")
+    return jax.device_put(
+        local_graph, (sharding_fn or graph_sharding)(local_graph, mesh))
+
+
+def place_stacked_graph(mesh, stacked):
+    """Place a STACKED batch (graph/build.py:build_stacked_graph — every
+    leaf carries a leading scene axis) on `mesh`, scene axis sharded over
+    "data". Multi-process, each host passes its LOCAL slice of the global
+    batch (same leaf shapes on every host; the global batch is the
+    concatenation over process index) and the returned global jax.Arrays
+    span all hosts. Per-scene scalars (num_vertices, ...) are [B] leaves
+    and shard the same way, so each vmap slice sees its own scalar.
+
+    Requires local B divisible by the host's device count along "data"
+    (one+ whole scenes per device)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("data"))
+    shardings = jax.tree.map(lambda _: sh, stacked)
     if jax.process_count() <= 1:
-        return jax.device_put(local_graph, shardings)
-
-    def assemble(leaf, sharding):
-        return jax.make_array_from_process_local_data(
-            sharding, np.asarray(leaf))
-
-    return jax.tree.map(assemble, local_graph, shardings)
+        return jax.device_put(stacked, shardings)
+    return jax.tree.map(
+        lambda leaf, s: jax.make_array_from_process_local_data(
+            s, np.asarray(leaf)), stacked, shardings)
 
 
-def mean_scalar_metrics(log):
-    """Average every numeric value of an epoch-log dict across hosts so
-    monitoring decisions (best-checkpoint, early stopping, LR plateau) are
-    globally consistent — each host computes metrics on its own data shard.
-    Identity single-process; non-numeric entries pass through local."""
+def merge_widths_across_hosts(widths):
+    """Max-merge stacked table-width dicts (graph/build.py:table_widths
+    format) across processes so every host pads to one global signature.
+    Identity single-process. Must be called from the MAIN thread in the
+    same program order on every host (it runs a collective)."""
+    if jax.process_count() <= 1:
+        return dict(widths)
+    from jax.experimental import multihost_utils
+    # dist slot is None for base edge sets, int for dilated ones
+    keys = sorted(widths, key=lambda k: (
+        k[0], -1 if k[1] is None else int(k[1]), str(k[2])))
+    import zlib
+    sig = np.asarray([len(keys), float(zlib.crc32(repr(keys).encode()))],
+                     np.float64)
+    sigs = multihost_utils.process_allgather(sig)
+    if not np.all(sigs == sigs[0]):
+        raise RuntimeError(
+            "stacked width keys differ across hosts (different dilation "
+            f"sets or ELL layouts); this host: {keys}")
+    vals = np.asarray([widths[k] for k in keys], np.int64)
+    gathered = multihost_utils.process_allgather(vals)
+    return {k: int(v) for k, v in zip(keys, np.max(gathered, axis=0))}
+
+
+def mean_scalar_metrics(log, weight=1.0):
+    """Weighted-average every float value of an epoch-log dict across hosts
+    so monitoring decisions (best-checkpoint, early stopping, LR plateau)
+    are globally consistent — each host computes metrics on its own data
+    shard. `weight` is this host's contribution weight (e.g. its batch
+    count; defaults to an unweighted mean). int/bool values pass through
+    local (epoch counters etc. are host-uniform by construction). Identity
+    single-process.
+
+    The key set must be host-uniform: allgather needs equal shapes, and a
+    host missing the monitored metric would silently diverge the monitor
+    decisions (barrier deadlock at the save points). Divergence raises
+    RuntimeError naming this host's keys instead of hanging."""
     if jax.process_count() <= 1:
         return log
     keys = sorted(k for k, v in log.items()
-                  if isinstance(v, (int, float, np.floating, np.integer))
+                  if isinstance(v, (float, np.floating))
                   and not isinstance(v, bool))
+    from jax.experimental import multihost_utils
+    # key-set uniformity guard: [count, order-sensitive hash]. crc32, not
+    # hash(): str hashing is salted per process (PYTHONHASHSEED).
+    import zlib
+    sig = np.asarray(
+        [len(keys),
+         float(zlib.crc32("\x00".join(keys).encode()))], np.float64)
+    sigs = multihost_utils.process_allgather(sig)  # [P, 2]
+    if not np.all(sigs == sigs[0]):
+        raise RuntimeError(
+            "mean_scalar_metrics: per-host metric key sets differ "
+            f"(this host: {keys}). Epoch logs must be host-uniform — "
+            "gate data-dependent metrics (e.g. FID sessions) identically "
+            "on every process.")
     if not keys:
         return log
-    from jax.experimental import multihost_utils
-    vals = np.asarray([float(log[k]) for k in keys], np.float64)
-    gathered = multihost_utils.process_allgather(vals)  # [P, K]
+    w = float(weight)
+    vals = np.asarray([float(log[k]) * w for k in keys] + [w], np.float64)
+    gathered = multihost_utils.process_allgather(vals)  # [P, K+1]
+    total_w = max(float(np.sum(gathered[:, -1])), 1e-12)
     out = dict(log)
-    for k, v in zip(keys, np.mean(gathered, axis=0)):
+    for k, v in zip(keys, np.sum(gathered[:, :-1], axis=0) / total_w):
         out[k] = float(v)
     return out
 

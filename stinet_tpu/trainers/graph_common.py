@@ -268,6 +268,74 @@ def make_inpainting_steps(model, tx, use_mask_weighted, has_batch_stats=False):
     return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
 
 
+def make_stacked_inpainting_steps(model, tx, use_mask_weighted,
+                                  has_batch_stats=False, mesh=None):
+    """vmapped variant of make_inpainting_steps for STACKED batches
+    (graph/build.py:build_stacked_graph): every leaf carries a leading
+    scene axis, each vmap slice is an independent single-scene graph, so
+    gathers never cross scene rows (sidesteps the concatenated-table
+    gather cliff, BENCH_NOTES batched probe) and indices stay scene-local
+    — the layout multi-host data parallelism shards over hosts.
+
+    The LOSS is exactly the concatenated batch's loss: per-scene weighted
+    sums and normalizers combine as sum_b(wsum_b) / sum_b(n_b), so the
+    gradient (and with it the training trajectory) matches the
+    block-diagonal layout bit-for-bit up to reduction order. METRICS are
+    per-scene values averaged with valid-vertex weights (documented
+    deviation: the concatenated PSNR applies -10log10 AFTER pooling; here
+    each scene gets its own log — monitoring-grade difference only).
+
+    With `mesh`, the scene axis shards over the mesh's data axis and
+    params/opt-state replicate; GSPMD inserts the gradient psum.
+    """
+    assert not has_batch_stats, \
+        "stacked batching does not support BatchNorm models (per-slice " \
+        "batch stats would diverge); use the concatenated layout"
+
+    def scene_loss_terms(params, graph):
+        out = model.apply({"params": params}, graph)
+        vmask = graph.levels[0].vertex_mask()
+        composite = jnp.where(graph.mask > 0, out,
+                              graph.color).astype(graph.color.dtype)
+        per = jnp.abs(composite - graph.color)
+        if use_mask_weighted:
+            per = per * jnp.power(0.99, graph.mask)
+        per = per * vmask[:, None]
+        n = jnp.sum(vmask) * graph.color.shape[-1]
+        return jnp.sum(per), n, composite
+
+    def batch_loss(params, sgraph):
+        wsum, n, composite = jax.vmap(
+            scene_loss_terms, in_axes=(None, 0))(params, sgraph)
+        loss = jnp.sum(wsum) / jnp.maximum(jnp.sum(n), 1.0)
+        return loss, composite
+
+    def batch_metrics(composite, sgraph, loss):
+        per = jax.vmap(inpainting_metrics, in_axes=(0, 0, None))(
+            composite, sgraph, loss)
+        w = jax.vmap(lambda g: jnp.sum(g.levels[0].vertex_mask()))(sgraph)
+        w = w / jnp.maximum(jnp.sum(w), 1.0)
+        out = {k: jnp.sum(v * w) for k, v in per.items()}
+        out["loss"] = loss  # exact (combined), not the per-scene mean
+        return out
+
+    def train_step(state, sgraph, lr):
+        (loss, composite), grads = jax.value_and_grad(
+            batch_loss, has_aux=True)(state.params, sgraph)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1)
+        return new_state, batch_metrics(composite, sgraph, loss)
+
+    def eval_step(state, sgraph):
+        loss, composite = batch_loss(state.params, sgraph)
+        return batch_metrics(composite, sgraph, loss), composite
+
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+
 def host_metrics(metrics) -> Dict[str, float]:
     return {k: float(np.asarray(v)) for k, v in metrics.items()}
 
@@ -331,6 +399,16 @@ def replicate_to_mesh(mesh, tree):
         return tree
     from jax.sharding import NamedSharding, PartitionSpec
     return jax.device_put(tree, NamedSharding(mesh, PartitionSpec()))
+
+
+def place_stacked(mesh, stacked_graph):
+    """Place a stacked batch (leading scene axis on every leaf): plain
+    device_put without a mesh; scene axis over `data` with one (incl. the
+    multi-host stitch, parallel/multihost.py:place_stacked_graph)."""
+    if mesh is None:
+        return jax.device_put(stacked_graph)
+    from stinet_tpu.parallel.multihost import place_stacked_graph
+    return place_stacked_graph(mesh, stacked_graph)
 
 
 def place_graph_on_mesh(mesh, graph):

@@ -17,8 +17,10 @@ from stinet_tpu.metrics import MetricTracker
 from stinet_tpu.models.factory import define_G, count_parameters
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
-    TrainState, build_optimizer, step_lr, make_inpainting_steps, host_metrics,
-    maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh)
+    TrainState, build_optimizer, step_lr, make_inpainting_steps,
+    make_stacked_inpainting_steps, host_metrics,
+    maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh,
+    place_stacked)
 
 
 def check_nan_in_params(params, logger=None):
@@ -60,10 +62,16 @@ class Inpainting3DTrainer(BaseTrainer):
         self.do_validation = tcfg.get("do_validation", True)
         self.batches_per_log = tcfg.get("batches_per_log", 1)
 
+        # stacked batching (vmapped per-scene tables; the multi-host
+        # layout): the loader decides, the trainer follows
+        self._stacked = bool(getattr(self.data_loader, "stacked", False))
+
         # Initialize params with the first available graph (shapes don't
         # affect parameter shapes; one init serves all buckets).
         seed = config.get("seed", 123) or 123
         example = self._example_graph()
+        if self._stacked:  # init on one scene slice of the stacked batch
+            example = jax.tree.map(lambda a: a[0], example)
         variables = jax.jit(self.model.init)(
             jax.random.key(seed), example)
         params = variables["params"]
@@ -74,9 +82,15 @@ class Inpainting3DTrainer(BaseTrainer):
             step=jnp.zeros((), jnp.int32),
             batch_stats=variables.get("batch_stats"))
 
-        self._train_step, self._eval_step = make_inpainting_steps(
-            self.model, self.tx, self.use_mask_weighted_loss,
-            self._has_batch_stats)
+        if self._stacked:
+            self._train_step, self._eval_step = \
+                make_stacked_inpainting_steps(
+                    self.model, self.tx, self.use_mask_weighted_loss,
+                    self._has_batch_stats)
+        else:
+            self._train_step, self._eval_step = make_inpainting_steps(
+                self.model, self.tx, self.use_mask_weighted_loss,
+                self._has_batch_stats)
 
         if config.resume is not None:
             self._resume_checkpoint(config.resume)
@@ -90,6 +104,8 @@ class Inpainting3DTrainer(BaseTrainer):
         self.valid_metrics = MetricTracker(*metrics, writer=self.writer)
 
     def _place_graph(self, graph):
+        if self._stacked:
+            return place_stacked(self._mesh, graph)
         return place_graph_on_mesh(self._mesh, graph)
 
     # ------------------------------------------------------------------
@@ -159,12 +175,22 @@ class Inpainting3DTrainer(BaseTrainer):
                 self.valid_metrics.update(k, v, write=False)
             self.logger.info("    %s %-15s: %s", names[0], "loss", m["loss"])
             if visualizer is not None:
-                n = int(graph.levels[0].num_vertices)
-                visualizer.visualize_result(
-                    names[0],
-                    np.asarray(composite)[:n] / 2.0 + 0.5,
-                    np.asarray(graph.color)[:n] / 2.0 + 0.5,
-                    np.asarray(graph.mask)[:n] > 0)
+                comp = np.asarray(composite)
+                color = np.asarray(graph.color)
+                mask = np.asarray(graph.mask)
+                nvs = np.atleast_1d(
+                    np.asarray(graph.levels[0].num_vertices))
+                if self._stacked:  # [B, V, C] slices, one scene per row
+                    for bi, name in enumerate(names):
+                        n = int(nvs[bi])
+                        visualizer.visualize_result(
+                            name, comp[bi, :n] / 2.0 + 0.5,
+                            color[bi, :n] / 2.0 + 0.5, mask[bi, :n] > 0)
+                else:
+                    n = int(nvs[0])
+                    visualizer.visualize_result(
+                        names[0], comp[:n] / 2.0 + 0.5,
+                        color[:n] / 2.0 + 0.5, mask[:n] > 0)
         for key, value in self.valid_metrics.result(write=False).items():
             self.logger.info("    %-15s: %s", str(key), value)
 

@@ -10,6 +10,17 @@ import pytest
 from stinet_tpu.parallel import multihost
 
 
+@pytest.fixture(autouse=True)
+def _reset_initialized():
+    """Direct assignment, not monkeypatch: monkeypatch.setattr records the
+    CURRENT value at call time and restores it at teardown, so using it to
+    'reset' a flag a test itself flipped leaks the flipped value into the
+    rest of the session."""
+    multihost._initialized = False
+    yield
+    multihost._initialized = False
+
+
 def test_initialize_noop_without_env(monkeypatch):
     # No coordinator env vars, no explicit args: must NOT call
     # jax.distributed.initialize (plain single-process run stays local).
@@ -30,21 +41,18 @@ def test_initialize_noop_without_env(monkeypatch):
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
     assert multihost.initialize() is True
     assert len(called) == 1
-    monkeypatch.setattr(multihost, "_initialized", False)
 
 
 def test_initialize_explicit_args_and_idempotence(monkeypatch):
     called = []
     monkeypatch.setattr(jax.distributed, "initialize",
                         lambda **kw: called.append(kw))
-    monkeypatch.setattr(multihost, "_initialized", False)
     assert multihost.initialize(coordinator_address="localhost:1234",
                                 num_processes=1, process_id=0) is True
     assert len(called) == 1
     # second call is a no-op
     assert multihost.initialize(coordinator_address="localhost:1234") is False
     assert len(called) == 1
-    monkeypatch.setattr(multihost, "_initialized", False)
 
 
 def test_primary_and_counts():
