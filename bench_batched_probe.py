@@ -136,6 +136,68 @@ def main():
         acc["vfwd_b4_error"] = str(e)[:120]
     emit()
 
+    # stacked vs concatenated TRAINING step at B=4 (the training-side
+    # counterpart of vfwd_b4: the stacked_batching loader path,
+    # make_stacked_inpainting_steps — exact-loss vmapped step)
+    try:
+        import optax
+        from stinet_tpu.graph.build import build_stacked_graph
+        from stinet_tpu.trainers.graph_common import (
+            TrainState, build_optimizer, inpainting_loss,
+            make_stacked_inpainting_steps)
+        tx, lr = build_optimizer({"type": "Adam",
+                                  "args": {"lr": 7e-5, "amsgrad": True}})
+        sg, _ = build_stacked_graph(scenes, geometric=False)
+        sg = jax.device_put(sg)
+        # the stacked step donates its state — give it a COPY so the shared
+        # `params` buffers survive for the later stages
+        p_copy = jax.tree.map(jnp.copy, params)
+        state = TrainState(params=p_copy, opt_state=tx.init(p_copy),
+                           step=jnp.zeros((), jnp.int32), batch_stats=None)
+        sstep, _ = make_stacked_inpainting_steps(model, tx, True)
+        state, m = sstep(state, sg, jnp.float32(lr))
+        _sync(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(max(ITERS // 2, 3)):
+            state, m = sstep(state, sg, jnp.float32(lr))
+        _sync(m["loss"])
+        acc["vtrain_b4_ms"] = round(
+            (time.perf_counter() - t0) / max(ITERS // 2, 3) * 1e3, 2)
+        emit()
+
+        # concatenated-train comparator at the same 4 scenes
+        @jax.jit
+        def cstep(state, g, lr):
+            def loss_fn(p):
+                out = model.apply({"params": p}, g)
+                vmask = g.levels[0].vertex_mask()
+                loss, comp = inpainting_loss(out, g.color, g.mask, vmask,
+                                             True)
+                return loss, comp
+            (loss, _), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            upd, opt_state = tx.update(grads, state.opt_state, state.params)
+            upd = jax.tree.map(lambda u: u * lr, upd)
+            return state.replace(
+                params=optax.apply_updates(state.params, upd),
+                opt_state=opt_state, step=state.step + 1), loss
+        p_copy2 = jax.tree.map(jnp.copy, params)
+        cst = TrainState(params=p_copy2, opt_state=tx.init(p_copy2),
+                         step=jnp.zeros((), jnp.int32), batch_stats=None)
+        cst, loss = cstep(cst, g4, jnp.float32(lr))
+        _sync(loss)
+        t0 = time.perf_counter()
+        for _ in range(max(ITERS // 2, 3)):
+            cst, loss = cstep(cst, g4, jnp.float32(lr))
+        _sync(loss)
+        acc["ctrain_b4_ms"] = round(
+            (time.perf_counter() - t0) / max(ITERS // 2, 3) * 1e3, 2)
+        del state, cst, sg
+        emit()
+    except ValueError as e:
+        acc["vtrain_b4_error"] = str(e)[:120]
+        emit()
+
     # matmul-reduce norm sums (w.T @ x instead of jnp.sum) — flag is read
     # at trace time, so toggling the env between fresh jits works here
     os.environ["STINET_NORM_MATMUL_REDUCE"] = "1"
