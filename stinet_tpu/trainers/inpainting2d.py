@@ -134,6 +134,12 @@ class Inpainting2DTrainer(BaseTrainer):
         # params/opt-state, shard each batch's vertex/pixel dim over `data`
         # (GSPMD inserts the gradient psum; the image graphs' fixed sizes
         # divide the power-of-two axis).
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                f"{type(self).__name__} supports single-host runs only; "
+                "multi-host (pod) training is implemented for the 3D "
+                "inpainting trainer via stacked batching "
+                "(PARITY.md: stacked data parallelism)")
         self._mesh = maybe_data_mesh(config.config, logger)
         self.state = replicate_to_mesh(self._mesh, self.state)
         if self.disc_state is not None:

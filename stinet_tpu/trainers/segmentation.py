@@ -67,6 +67,12 @@ class GraphSegmentationTrainer(BaseTrainer):
         # Working data parallelism behind the reference's n_gpu key (its
         # own DataParallel path is unreachable and broken,
         # segmentation_trainer.py:34-35,148)
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                f"{type(self).__name__} supports single-host runs only; "
+                "multi-host (pod) training is implemented for the 3D "
+                "inpainting trainer via stacked batching "
+                "(PARITY.md: stacked data parallelism)")
         self._mesh = maybe_data_mesh(config.config, logger)
         self.state = replicate_to_mesh(self._mesh, self.state)
 
