@@ -152,80 +152,34 @@ class SceneInpainter:
 
         The vertex/edge buckets are geometric, but the ELL slot width
         (p97-degree cap), reverse-table width (max out-degree), spill
-        length, and children width are data-dependent — two same-sized
-        scenes can differ by a column and trigger a recompile. Extra
-        columns/rows are filled with the level's trash vertex: trash rows
-        carry zero features and are masked everywhere, so padded tables
-        are semantically identical (the builder already pads ragged rows
-        the same way). Widths only grow, so the compile count is bounded
-        by the number of distinct running-max states (plateaus fast).
-        Keys include the level's vertex bucket, so one flagship-sized
-        scene does not permanently inflate the table widths of every
-        smaller bucket the server also handles."""
-        def grown(key, cur):
-            with self._width_lock:
-                w = max(self._widths.get(key, 0), cur)
-                self._widths[key] = w
-            return w
-
-        def norm_es(es, li, dk, trash):
-            if es is None or es.nbr is None:
-                return es
-            vb = trash + 1   # the level's vertex bucket (padded size)
-            upd = {}
-            for f in ("nbr", "rev_dst"):
-                arr = np.asarray(getattr(es, f))
-                w = grown((li, dk, f, vb), arr.shape[1])
-                if w > arr.shape[1]:
-                    upd[f] = np.concatenate(
-                        [arr, np.full((arr.shape[0], w - arr.shape[1]),
-                                      trash, arr.dtype)], axis=1)
-            cur = (0 if es.spill_src is None
-                   else int(es.spill_src.shape[0]))
-            w = grown((li, dk, "spill", vb), cur)
-            if w > cur:
-                # all-trash spill edges scatter onto the trash row, which
-                # is masked out — an empty-but-present spill unifies the
-                # treedef with scenes that do spill
-                for f, arr in (("spill_src", es.spill_src),
-                               ("spill_dst", es.spill_dst)):
-                    base = (np.asarray(arr) if arr is not None
-                            else np.zeros((0,), np.int32))
-                    upd[f] = np.concatenate(
-                        [base, np.full(w - cur, trash, np.int32)])
-            cur_e = int(es.src.shape[0])
-            w = grown((li, dk, "edges", vb), cur_e)
-            if w > cur_e:
-                for f in ("src", "dst"):
-                    arr = np.asarray(getattr(es, f))
-                    upd[f] = np.concatenate(
-                        [arr, np.full(w - cur_e, trash, arr.dtype)])
-            return es.replace(**upd) if upd else es
-
-        new_levels = []
-        for li, lev in enumerate(graph.levels):
-            trash = int(lev.graph_id.shape[0]) - 1
-            edges = norm_es(lev.edges, li, "base", trash)
-            dil = {d: norm_es(es, li, d, trash)
-                   for d, es in lev.dilated.items()}
-            new_levels.append(lev.replace(edges=edges, dilated=dil))
-
-        children = []
-        for l, ch in enumerate(graph.children):
-            if ch is None:
-                children.append(ch)
-                continue
-            arr = np.asarray(ch)
-            fine_trash = int(graph.levels[l].graph_id.shape[0]) - 1
-            w = grown((l, "children", arr.shape[0], fine_trash + 1),
-                      arr.shape[1])
-            if w > arr.shape[1]:
-                arr = np.concatenate(
-                    [arr, np.full((arr.shape[0], w - arr.shape[1]),
-                                  fine_trash, arr.dtype)], axis=1)
-            children.append(arr)
-        return graph.replace(levels=tuple(new_levels),
-                             children=tuple(children))
+        length, edge-list length, and children width are data-dependent —
+        two same-sized scenes can differ by a column and trigger a
+        recompile. Widths only grow, so the compile count is bounded by
+        the number of distinct running-max states (plateaus fast). Keys
+        include the level's vertex bucket, so one flagship-sized scene
+        does not permanently inflate the table widths of every smaller
+        bucket the server also handles. Measurement + padding are the
+        stateless graph/build.py helpers (table_widths /
+        pad_tables_to_widths — the same implementation the stacked
+        training loader freezes signatures with); this method only owns
+        the running-max state. Windowed halos are NOT ratcheted here
+        (batch-scoped unification via _unify_static_halos — a permanently
+        grown halo would push later scenes past the windowed dispatch
+        caps)."""
+        from stinet_tpu.graph.build import table_widths, pad_tables_to_widths
+        cur = table_widths(graph)
+        target = {}
+        with self._width_lock:
+            for k, w in cur.items():
+                li, dk, f = k
+                if f == "halo":
+                    continue
+                vb = int(graph.levels[li].graph_id.shape[0])
+                skey = (li, dk, f, vb)
+                grown = max(self._widths.get(skey, 0), int(w))
+                self._widths[skey] = grown
+                target[k] = grown
+        return pad_tables_to_widths(graph, target)
 
     def _build_stacked(self, scenes: Sequence[RawHierarchy],
                        pad_multiple_of: int = 1):
