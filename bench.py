@@ -274,10 +274,11 @@ def bench_tpu_stages(scene):
     def _run_batched(scenes, batch):
         # Production batched layout is STACKED (serving.py): each scene
         # keeps its own padded table with a leading scene axis and the
-        # forward is vmapped — concatenated tables measured a ~5.6x
-        # ELL-gather locality cliff at 4x size (BENCH_NOTES round-3
-        # probe). Falls back to the concatenated layout if the scenes
-        # can't share a stacked signature.
+        # forward lax.maps (scans) over scenes — concatenated tables
+        # measured a ~5.6x ELL-gather locality cliff at 4x size, and the
+        # vmapped stacked layout measured 2x worse still (BENCH_NOTES
+        # round-3 probes). Falls back to the concatenated layout if the
+        # scenes can't share a stacked signature.
         layout = "stacked"
         try:
             from stinet_tpu.serving import SceneInpainter
@@ -287,9 +288,9 @@ def bench_tpu_stages(scene):
             @jax.jit
             def chain_b(params, g, out):
                 x = g.x.at[:, :, 0:3].add(out * 1e-6)
-                return jax.vmap(
-                    lambda p, gg: model.apply({"params": p}, gg),
-                    in_axes=(None, 0))(params, dataclasses.replace(g, x=x))
+                return jax.lax.map(
+                    lambda gg: model.apply({"params": params}, gg),
+                    dataclasses.replace(g, x=x))
 
             out0 = jnp.zeros(graph_b.x.shape[:2] + (3,), graph_b.x.dtype)
         except ValueError:

@@ -130,6 +130,27 @@ def main():
         _sync(out)
         acc["vfwd_b4_ms"] = round(
             (time.perf_counter() - t0) / ITERS * 1e3, 2)
+        emit()
+
+        # stacked + SCANNED B=4 (the production stacked layout after the
+        # vmap verdict above: lax.map keeps each scene's gathers at
+        # single-scene locality inside one dispatch)
+        @jax.jit
+        def schain(params, g, out):
+            x = g.x.at[:, :, 0:3].add(out * 1e-6)
+            return jax.lax.map(
+                lambda gg: model.apply({"params": params}, gg),
+                dataclasses.replace(g, x=x))
+
+        out = schain(params, gs,
+                     jnp.zeros(gs.x.shape[:2] + (3,), gs.x.dtype))
+        _sync(out)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = schain(params, gs, out)
+        _sync(out)
+        acc["sfwd_b4_ms"] = round(
+            (time.perf_counter() - t0) / ITERS * 1e3, 2)
         del server, gs, out
     except ValueError as e:   # scenes couldn't share a stacked signature
         acc["vfwd_b4_ms"] = None
@@ -137,8 +158,8 @@ def main():
     emit()
 
     # stacked vs concatenated TRAINING step at B=4 (the training-side
-    # counterpart of vfwd_b4: the stacked_batching loader path,
-    # make_stacked_inpainting_steps — exact-loss vmapped step)
+    # counterpart of sfwd_b4: the stacked_batching loader path,
+    # make_stacked_inpainting_steps — exact-loss scan-accumulated step)
     try:
         import optax
         from stinet_tpu.graph.build import build_stacked_graph
@@ -161,7 +182,7 @@ def main():
         for _ in range(max(ITERS // 2, 3)):
             state, m = sstep(state, sg, jnp.float32(lr))
         _sync(m["loss"])
-        acc["vtrain_b4_ms"] = round(
+        acc["strain_b4_ms"] = round(  # scan-over-scenes stacked step
             (time.perf_counter() - t0) / max(ITERS // 2, 3) * 1e3, 2)
         emit()
 

@@ -553,8 +553,8 @@ def grid_hierarchy(img_size: int, end_level: int, decimation: int = 2):
 
 # ---------------------------------------------------------------------------
 # Stacked batching: each scene as its OWN single-scene padded graph, leaves
-# stacked to [B, ...] for a vmapped step. Gathers never cross scene rows
-# (each vmap slice is an independent per-scene table), which sidesteps the
+# stacked to [B, ...] for a scan-over-scenes step. Gathers never cross scene rows
+# (each scanned slice is an independent per-scene table), which sidesteps the
 # measured gather-locality cliff of concatenated multi-scene tables
 # (BENCH_NOTES batched-serving probe: level-0 aggregate 1.6 ms at 65k rows
 # vs 9.0 ms at 4x rows) and gives multi-host data parallelism scene-local
@@ -675,7 +675,7 @@ def pad_tables_to_widths(graph: HierarchicalGraph,
 
 def stack_graphs(graphs: Sequence[HierarchicalGraph]) -> HierarchicalGraph:
     """Stack same-signature single-scene graphs to [B, ...] leaves for a
-    vmapped step. Raises ValueError on treedef/shape mismatch (different
+    scanned step. Raises ValueError on treedef/shape mismatch (different
     buckets, ELL/COO layout or dilation sets) — pad_tables_to_widths with
     merged widths first."""
     ref = jax.tree_util.tree_structure(graphs[0])

@@ -135,7 +135,7 @@ def global_graph_from_local(mesh, local_graph, sharding_fn=None):
     validity mask, both of which are wrong in a cross-host address space.
     Multi-host data parallelism uses the STACKED layout instead
     (place_stacked_graph + graph/build.py:build_stacked_graph), where
-    every vmap slice is a self-contained single-scene graph."""
+    every scanned slice is a self-contained single-scene graph."""
     from stinet_tpu.parallel.mesh import graph_sharding
     if jax.process_count() > 1:
         raise NotImplementedError(
@@ -153,7 +153,7 @@ def place_stacked_graph(mesh, stacked):
     batch (same leaf shapes on every host; the global batch is the
     concatenation over process index) and the returned global jax.Arrays
     span all hosts. Per-scene scalars (num_vertices, ...) are [B] leaves
-    and shard the same way, so each vmap slice sees its own scalar.
+    and shard the same way, so each scanned slice sees its own scalar.
 
     Requires local B divisible by the host's device count along "data"
     (one+ whole scenes per device)."""

@@ -17,7 +17,8 @@ of padded shapes for the compile cache to amortize across a traffic stream.
     stinet_tpu/ops/pallas/README.md for the dispatch caps);
   * batched dispatch (B scenes in one program) in two layouts:
     ``stacked`` (default "auto") builds each scene as its OWN padded
-    graph, stacks the leaves to [B, ...] and vmaps the forward — every
+    graph, stacks the leaves to [B, ...] and lax.maps (scans) the forward
+    over scenes — every
     gather stays inside a per-scene 65k-row table, so the per-scene cost
     tracks the single-scene dispatch; ``concat`` collates all scenes into
     one big graph (the trainer's layout). The round-3 device probe showed
@@ -130,12 +131,30 @@ class SceneInpainter:
         self._fwd = jax.jit(
             lambda p, g: self.model.apply({"params": p}, g))
         # stacked-batch forward: params broadcast, graph leaves carry a
-        # leading scene axis. Each vmap element sees a single-scene graph
-        # (num_graphs=1), so norms take the cheap single-graph path and
-        # gathers stay inside per-scene tables.
-        self._vfwd = jax.jit(jax.vmap(
-            lambda p, g: self.model.apply({"params": p}, g),
-            in_axes=(None, 0)))
+        # leading scene axis. Each slice sees a single-scene graph
+        # (num_graphs=1), so norms take the cheap single-graph path. The
+        # scenes execute as a sequential lax.map, NOT a vmap: v5e A/B
+        # measured the vmapped layout at 107.5 ms for B=4 vs 39 ms for
+        # 4x single-scene dispatch — XLA's batched gathers destroy the
+        # per-scene table locality the stacked layout exists to preserve
+        # (BENCH_NOTES round-3 stacked probe). One dispatch still
+        # amortizes host<->device round-trips and, with a mesh, each
+        # device scans only its own scene shard (shard_map: a scanned
+        # axis must not be GSPMD-sharded or XLA gathers it first).
+        def _map_fwd(p, g):
+            return jax.lax.map(
+                lambda gg: self.model.apply({"params": p}, gg), g)
+
+        if mesh is None:
+            self._vfwd = jax.jit(_map_fwd)
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec
+            ax = mesh.axis_names[0]
+            self._vfwd = jax.jit(shard_map(
+                _map_fwd, mesh=mesh,
+                in_specs=(PartitionSpec(), PartitionSpec(ax)),
+                out_specs=PartitionSpec(ax), check_vma=False))
 
     # -- building ------------------------------------------------------
     def _build(self, scenes: Sequence[RawHierarchy]):
@@ -184,7 +203,7 @@ class SceneInpainter:
     def _build_stacked(self, scenes: Sequence[RawHierarchy],
                        pad_multiple_of: int = 1):
         """Build each scene as its own padded single-scene graph and stack
-        the array leaves to [B, ...] for the vmapped forward.
+        the array leaves to [B, ...] for the scanned (lax.map) forward.
 
         Builds run on a thread pool (host builds dominate: ~0.3 s/scene
         against ~10 ms of batched device forward; numpy's sorts release
@@ -246,7 +265,7 @@ class SceneInpainter:
         """One dispatch over B scenes; returns per-scene valid-vertex
         colors.
 
-        stacked=True/"auto" uses the vmapped per-scene-table layout (the
+        stacked=True/"auto" uses the scanned per-scene-table layout (the
         fast path — see module docstring); "auto" silently falls back to
         the concatenated layout when the scenes can't share a stacked
         signature, stacked=False forces concatenation (the trainer's
@@ -351,7 +370,7 @@ class SceneInpainter:
         warmed: "auto" traffic falls back to it when a group's scenes
         can't share a stacked signature, and that fallback must not pay
         a multi-second compile inside a live request. b=1 warms BOTH
-        predict() and predict_batch() (the stacked vmapped signature is
+        predict() and predict_batch() (the stacked scanned signature is
         distinct from the single-graph forward). Chunks whose bucket
         signature was already executed are skipped — a sliding window
         over N scenes mostly revisits the same few signatures, and each

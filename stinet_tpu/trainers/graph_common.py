@@ -270,23 +270,32 @@ def make_inpainting_steps(model, tx, use_mask_weighted, has_batch_stats=False):
 
 def make_stacked_inpainting_steps(model, tx, use_mask_weighted,
                                   has_batch_stats=False, mesh=None):
-    """vmapped variant of make_inpainting_steps for STACKED batches
-    (graph/build.py:build_stacked_graph): every leaf carries a leading
-    scene axis, each vmap slice is an independent single-scene graph, so
-    gathers never cross scene rows (sidesteps the concatenated-table
-    gather cliff, BENCH_NOTES batched probe) and indices stay scene-local
-    — the layout multi-host data parallelism shards over hosts.
+    """Scan-over-scenes variant of make_inpainting_steps for STACKED
+    batches (graph/build.py:build_stacked_graph): every leaf carries a
+    leading scene axis and each slice is an independent single-scene
+    graph, so indices stay scene-local — the layout multi-host data
+    parallelism shards over hosts.
 
-    The LOSS is exactly the concatenated batch's loss: per-scene weighted
-    sums and normalizers combine as sum_b(wsum_b) / sum_b(n_b), so the
-    gradient (and with it the training trajectory) matches the
-    block-diagonal layout bit-for-bit up to reduction order. METRICS are
-    per-scene values averaged with valid-vertex weights (documented
-    deviation: the concatenated PSNR applies -10log10 AFTER pooling; here
-    each scene gets its own log — monitoring-grade difference only).
+    Execution is a sequential `lax.scan` over the per-device scenes, NOT
+    a vmap: hardware A/B on v5e measured the vmapped stacked forward at
+    107.5 ms for B=4 vs 53.3 ms for the concatenated table and 39 ms for
+    4x single-scene dispatch — XLA's batched gathers lose per-scene
+    locality entirely (BENCH_NOTES round-3 stacked probe). The scan body
+    runs each scene's gathers at single-scene locality and accumulates
+    gradients in the carry (classic gradient accumulation). This is
+    mathematically EXACT: loss = sum_b(wsum_b) / sum_b(n_b) where the
+    normalizer n_b (valid-vertex count x channels) is independent of
+    params, so d loss/d params = sum_b grad(wsum_b) / sum_b(n_b) — the
+    concatenated batch's gradient up to reduction order (locked by
+    tests/test_stacked.py trajectory parity). METRICS are per-scene
+    values averaged with valid-vertex weights (documented deviation: the
+    concatenated PSNR applies -10log10 AFTER pooling; here each scene
+    gets its own log — monitoring-grade difference only).
 
-    With `mesh`, the scene axis shards over the mesh's data axis and
-    params/opt-state replicate; GSPMD inserts the gradient psum.
+    With `mesh`, the scene axis shards over the mesh's data axis via
+    shard_map — each device scans only its local scenes — and the
+    (grads, wsum, n) accumulators psum across the axis explicitly (no
+    reliance on GSPMD partitioning a scanned axis, which would gather).
     """
     assert not has_batch_stats, \
         "stacked batching does not support BatchNorm models (per-slice " \
@@ -304,24 +313,90 @@ def make_stacked_inpainting_steps(model, tx, use_mask_weighted,
         n = jnp.sum(vmask) * graph.color.shape[-1]
         return jnp.sum(per), n, composite
 
-    def batch_loss(params, sgraph):
-        wsum, n, composite = jax.vmap(
-            scene_loss_terms, in_axes=(None, 0))(params, sgraph)
-        loss = jnp.sum(wsum) / jnp.maximum(jnp.sum(n), 1.0)
-        return loss, composite
+    def _scene_wsum(params, graph):
+        wsum, n, composite = scene_loss_terms(params, graph)
+        return wsum, (n, composite)
+
+    def local_grads(params, sgraph):
+        """Scan the local scenes, accumulating (grads, wsum, n); returns
+        the stacked composites for metrics."""
+        zero = (jax.tree.map(jnp.zeros_like, params),
+                jnp.float32(0.0), jnp.float32(0.0))
+
+        def body(carry, graph):
+            gsum, wsum_acc, n_acc = carry
+            (wsum, (n, composite)), grads = jax.value_and_grad(
+                _scene_wsum, has_aux=True)(params, graph)
+            carry = (jax.tree.map(jnp.add, gsum, grads),
+                     wsum_acc + wsum, n_acc + n)
+            return carry, composite
+
+        (gsum, wsum, n), composite = jax.lax.scan(body, zero, sgraph)
+        return gsum, wsum, n, composite
+
+    def local_loss_terms(params, sgraph):
+        """Forward-only twin of local_grads (eval path)."""
+        wsum, n, composite = jax.lax.map(
+            lambda g: scene_loss_terms(params, g), sgraph)
+        return jnp.sum(wsum), jnp.sum(n), composite
+
+    def local_metrics(composite, sgraph, loss):
+        """Per-scene metric dicts + valid-vertex weights, scanned so the
+        metric gathers (graph TV / Laplacian) also stay scene-local.
+        Returns weighted SUMS and the weight total (psum-able)."""
+        per = jax.lax.map(
+            lambda cg: inpainting_metrics(cg[0], cg[1], loss),
+            (composite, sgraph))
+        w = jax.lax.map(
+            lambda g: jnp.sum(g.levels[0].vertex_mask()), sgraph)
+        return {k: jnp.sum(v * w) for k, v in per.items()}, jnp.sum(w)
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+
+        def _psum_tree(tree):
+            return jax.tree.map(lambda x: jax.lax.psum(x, ax), tree)
+
+        def _grads_shard(params, sgraph):
+            gsum, wsum, n, composite = local_grads(params, sgraph)
+            return (_psum_tree(gsum), jax.lax.psum(wsum, ax),
+                    jax.lax.psum(n, ax), composite)
+
+        def _eval_shard(params, sgraph):
+            wsum, n, composite = local_loss_terms(params, sgraph)
+            return (jax.lax.psum(wsum, ax), jax.lax.psum(n, ax), composite)
+
+        def _metrics_shard(composite, sgraph, loss):
+            sums, w = local_metrics(composite, sgraph, loss)
+            return _psum_tree(sums), jax.lax.psum(w, ax)
+
+        batch_grads = shard_map(
+            _grads_shard, mesh=mesh, in_specs=(P(), P(ax)),
+            out_specs=(P(), P(), P(), P(ax)), check_vma=False)
+        batch_loss_terms = shard_map(
+            _eval_shard, mesh=mesh, in_specs=(P(), P(ax)),
+            out_specs=(P(), P(), P(ax)), check_vma=False)
+        metric_sums = shard_map(
+            _metrics_shard, mesh=mesh, in_specs=(P(ax), P(ax), P()),
+            out_specs=(P(), P()), check_vma=False)
+    else:
+        batch_grads = local_grads
+        batch_loss_terms = local_loss_terms
+        metric_sums = local_metrics
 
     def batch_metrics(composite, sgraph, loss):
-        per = jax.vmap(inpainting_metrics, in_axes=(0, 0, None))(
-            composite, sgraph, loss)
-        w = jax.vmap(lambda g: jnp.sum(g.levels[0].vertex_mask()))(sgraph)
-        w = w / jnp.maximum(jnp.sum(w), 1.0)
-        out = {k: jnp.sum(v * w) for k, v in per.items()}
+        sums, w = metric_sums(composite, sgraph, loss)
+        out = {k: v / jnp.maximum(w, 1.0) for k, v in sums.items()}
         out["loss"] = loss  # exact (combined), not the per-scene mean
         return out
 
     def train_step(state, sgraph, lr):
-        (loss, composite), grads = jax.value_and_grad(
-            batch_loss, has_aux=True)(state.params, sgraph)
+        gsum, wsum, n, composite = batch_grads(state.params, sgraph)
+        denom = jnp.maximum(n, 1.0)
+        loss = wsum / denom
+        grads = jax.tree.map(lambda g: g / denom, gsum)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(state.params, updates)
@@ -330,7 +405,8 @@ def make_stacked_inpainting_steps(model, tx, use_mask_weighted,
         return new_state, batch_metrics(composite, sgraph, loss)
 
     def eval_step(state, sgraph):
-        loss, composite = batch_loss(state.params, sgraph)
+        wsum, n, composite = batch_loss_terms(state.params, sgraph)
+        loss = wsum / jnp.maximum(n, 1.0)
         return batch_metrics(composite, sgraph, loss), composite
 
     return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))

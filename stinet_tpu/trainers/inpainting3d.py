@@ -82,11 +82,16 @@ class Inpainting3DTrainer(BaseTrainer):
             step=jnp.zeros((), jnp.int32),
             batch_stats=variables.get("batch_stats"))
 
+        # mesh first: the stacked steps scan scenes sequentially per
+        # device, so data parallelism must be explicit shard_map over the
+        # mesh (a GSPMD-sharded scan axis would be all-gathered), not
+        # placement-driven like the concatenated path.
+        self._mesh = maybe_data_mesh(config.config, logger)
         if self._stacked:
             self._train_step, self._eval_step = \
                 make_stacked_inpainting_steps(
                     self.model, self.tx, self.use_mask_weighted_loss,
-                    self._has_batch_stats)
+                    self._has_batch_stats, mesh=self._mesh)
         else:
             self._train_step, self._eval_step = make_inpainting_steps(
                 self.model, self.tx, self.use_mask_weighted_loss,
@@ -94,8 +99,6 @@ class Inpainting3DTrainer(BaseTrainer):
 
         if config.resume is not None:
             self._resume_checkpoint(config.resume)
-
-        self._mesh = maybe_data_mesh(config.config, logger)
         self.state = replicate_to_mesh(self._mesh, self.state)
 
         metrics = ["loss", "l1", "mse", "graph_tv", "graph_lap_var", "psnr",
