@@ -142,18 +142,23 @@ def main():
                 lambda gg: model.apply({"params": params}, gg),
                 dataclasses.replace(g, x=x))
 
-        out = schain(params, gs,
-                     jnp.zeros(gs.x.shape[:2] + (3,), gs.x.dtype))
-        _sync(out)
-        t0 = time.perf_counter()
-        for _ in range(ITERS):
-            out = schain(params, gs, out)
-        _sync(out)
-        acc["sfwd_b4_ms"] = round(
-            (time.perf_counter() - t0) / ITERS * 1e3, 2)
-        del server, gs, out
+        try:
+            out = schain(params, gs,
+                         jnp.zeros(gs.x.shape[:2] + (3,), gs.x.dtype))
+            _sync(out)
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                out = schain(params, gs, out)
+            _sync(out)
+            acc["sfwd_b4_ms"] = round(
+                (time.perf_counter() - t0) / ITERS * 1e3, 2)
+        except ValueError as e:  # scan stage failed after vmap succeeded
+            acc["sfwd_b4_ms"] = None
+            acc["sfwd_b4_error"] = str(e)[:120]
+        del server, gs
     except ValueError as e:   # scenes couldn't share a stacked signature
-        acc["vfwd_b4_ms"] = None
+        acc.setdefault("vfwd_b4_ms", None)
+        acc.setdefault("sfwd_b4_ms", None)
         acc["vfwd_b4_error"] = str(e)[:120]
     emit()
 

@@ -251,7 +251,7 @@ class _SceneLoader:
 
     With `stacked`, every batch is a STACKED graph
     (graph/build.py:build_stacked_graph — leaves carry a leading scene
-    axis for the vmapped step) against a run-frozen signature, so the
+    axis for the scan-over-scenes step) against a run-frozen signature, so the
     whole run compiles once. `batch_size` is then the GLOBAL batch size:
     multi-process, every host walks the same shuffled global schedule
     (identical dataset + seed) and builds only its process_index slice of
@@ -378,7 +378,7 @@ class ScanNetGraphColorDataLoader:
                           train_cropped=not c.get("no_train_cropped", True))
 
         windowed = bool(c.get("windowed_graphs", False))
-        # stacked batching (vmapped per-scene tables): required for
+        # stacked batching (scan-over-scenes per-scene tables): required for
         # multi-host runs, optional single-host (config "stacked_batching")
         from stinet_tpu.parallel import multihost
         stacked = bool(c.get("stacked_batching", False)) \

@@ -57,15 +57,24 @@ def allgather_edge_conv(mesh: Mesh, axis: str = "data"):
 
 
 class HaloPlan(NamedTuple):
-    """Host-precomputed exchange plan for one edge set over `n_parts`
-    contiguous equal ranges of `v_pad` vertices.
+    """Host-precomputed PIPELINED ring exchange plan for one edge set over
+    `n_parts` contiguous equal ranges of `v_pad` vertices.
 
-    send_idx [n_parts, n_parts-1, H]: LOCAL row ids this device ships at ring
-        step s (to device (me - (s+1)) % n_parts ... i.e. rows that the
-        device s+1 hops *behind* needs); pads repeat row 0.
+    The ring runs S = n_parts-1 synchronized hops; every hop each device
+    sends exactly ONE buffer of W rows to its right neighbor (i -> i+1).
+    The buffer a device sends at hop t originates at the device t hops to
+    its left: at hop 0 it gathers its own boundary union (rows ANY
+    downstream receiver needs); at hop t>0 it filters the buffer it just
+    received down to the rows still needed >= t+1 hops from their origin.
+    Per-hop ICI volume is W (constant in n_parts) vs the previous schedule's
+    O(n_parts) growth from re-forwarding each step-s buffer s+1 times.
+
+    send_idx [n_parts, S, W]: hop-t gather list for the device. Row ids
+        index q_loc at t=0 and the hop-(t-1) RECEIVED buffer at t>0
+        (chained gather); pads use 0 (never referenced by receivers).
     nbr_halo [v_pad, D]: the ELL table rewritten into the local+halo index
-        space: senders owned locally -> [0, Vp); senders received at ring
-        step s, slot h -> Vp + s*H + h.
+        space: senders owned locally -> [0, Vp); a sender received at hop
+        s, slot h -> Vp + s*W + h.
     """
     send_idx: np.ndarray
     nbr_halo: np.ndarray
@@ -77,60 +86,92 @@ def build_halo_plan(nbr: np.ndarray, v_pad: int, n_parts: int) -> HaloPlan:
     spill-free edge sets (EdgeSet.spill_src is None) or pass ell_degree."""
     assert v_pad % n_parts == 0, "vertex dim must divide the mesh axis"
     vp = v_pad // n_parts
-    owner = np.asarray(nbr) // vp                      # [V, D]
+    nbr = np.asarray(nbr)
+    owner = nbr // vp                                  # [V, D]
     me = (np.arange(v_pad) // vp)[:, None]
-    # ring step at which each remote sender arrives: sender owned by
-    # (me - (s+1)) mod P arrives at step s (we receive from the left)
+    # ring hop at which each remote sender's row arrives: a row owned by
+    # (me - (s+1)) mod P arrives at hop s (data flows rightward)
     step = (me - owner - 1) % n_parts                  # n_parts-1 == local
     remote = owner != me
+    steps = n_parts - 1
 
-    # collect per (receiver-device, source-device) needed sender rows
-    nbr = np.asarray(nbr)
-    send_lists = [[[] for _ in range(n_parts - 1)] for _ in range(n_parts)]
-    recv_slot = np.zeros_like(nbr)
-    for part in range(n_parts):
-        rows = slice(part * vp, (part + 1) * vp)
-        for s in range(n_parts - 1):
-            src_dev = (part - s - 1) % n_parts
+    # need[o][s]: LOCAL row ids of origin o needed by the receiver s+1 hops
+    # to its right
+    need = [[np.zeros(0, np.int64)] * max(steps, 1) for _ in range(n_parts)]
+    for r in range(n_parts):
+        rows = slice(r * vp, (r + 1) * vp)
+        for s in range(steps):
+            o = (r - s - 1) % n_parts
             mask = remote[rows] & (step[rows] == s)
-            needed = np.unique(nbr[rows][mask])
-            send_lists[src_dev][s] = list(needed - src_dev * vp)
-            sl = recv_slot[rows]
-            sl[mask] = np.searchsorted(needed, nbr[rows][mask])
-            recv_slot[rows] = sl
+            need[o][s] = np.unique(nbr[rows][mask]) - o * vp
 
-    h = max((len(l) for dev in send_lists for l in dev), default=0)
-    h = max(h, 1)
-    send_idx = np.zeros((n_parts, max(n_parts - 1, 1), h), np.int32)
-    for dev in range(n_parts):
-        for s in range(n_parts - 1):
-            l = send_lists[dev][s]
-            send_idx[dev, s, :len(l)] = l
+    # union[o][t]: rows of origin o still in transit at hop t (needed by a
+    # receiver >= t+1 hops away). Monotone: union[o][t] is a subset of
+    # union[o][t-1], so hop-t buffers only ever shrink along the ring.
+    union = [[None] * max(steps, 1) for _ in range(n_parts)]
+    for o in range(n_parts):
+        acc = np.zeros(0, np.int64)
+        for t in range(steps - 1, -1, -1):
+            acc = np.union1d(acc, need[o][t])
+            union[o][t] = acc
 
-    local_idx = np.asarray(nbr) % vp
-    halo_idx = vp + step * h + recv_slot
+    w = max((len(union[o][t]) for o in range(n_parts)
+             for t in range(steps)), default=0)
+    w = max(w, 1)
+    send_idx = np.zeros((n_parts, max(steps, 1), w), np.int32)
+    for t in range(steps):
+        for o in range(n_parts):
+            carrier = (o + t) % n_parts
+            if t == 0:
+                idx = union[o][0]                       # rows of q_loc
+            else:  # positions within the hop-(t-1) buffer (same origin)
+                idx = np.searchsorted(union[o][t - 1], union[o][t])
+            send_idx[carrier, t, :len(idx)] = idx
+
+    # receiver side: hop-s buffer from origin o = r-s-1 lands at
+    # ext offset vp + s*w; slot = position of the row in union[o][s]
+    local_idx = nbr % vp
+    halo_idx = np.zeros_like(nbr)
+    for r in range(n_parts):
+        rows = slice(r * vp, (r + 1) * vp)
+        for s in range(steps):
+            o = (r - s - 1) % n_parts
+            mask = remote[rows] & (step[rows] == s)
+            sub = halo_idx[rows]
+            sub[mask] = vp + s * w + np.searchsorted(
+                union[o][s], nbr[rows][mask] - o * vp)
+            halo_idx[rows] = sub
     nbr_halo = np.where(remote, halo_idx, local_idx).astype(np.int32)
-    return HaloPlan(send_idx=send_idx, nbr_halo=nbr_halo, halo_width=h)
+    return HaloPlan(send_idx=send_idx, nbr_halo=nbr_halo, halo_width=w)
+
+
+def halo_exchange(q_loc, send_loc, n_parts, axis):
+    """Pipelined ring exchange (inside shard_map): chained
+    gather -> single-hop ppermute per hop, per the build_halo_plan
+    schedule. Returns q_loc extended with the S received hop buffers
+    (index space = HaloPlan.nbr_halo). Differentiable by construction:
+    each gather transposes to a scatter-add over its (unique) send rows
+    and each ppermute to its inverse permutation."""
+    if n_parts <= 1:
+        return q_loc
+    perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
+    halos = []
+    base = q_loc
+    for t in range(send_loc.shape[0]):
+        buf = base.at[send_loc[t]].get(mode="promise_in_bounds")
+        buf = jax.lax.ppermute(buf, axis, perm)
+        halos.append(buf)
+        base = buf
+    return jnp.concatenate([q_loc] + halos, axis=0)
 
 
 def halo_edge_conv(mesh: Mesh, n_parts: int, axis: str = "data"):
-    """Returns fn(p, q, nbr_halo, deg, send_idx) — ring halo exchange via
-    ppermute, then local ELL aggregation in the local+halo index space.
-    send_idx is the [n_parts, S, H] plan (sharded over its first dim)."""
+    """Returns fn(p, q, nbr_halo, deg, send_idx) — pipelined ring halo
+    exchange, then local ELL aggregation in the local+halo index space.
+    send_idx is the [n_parts, S, W] plan (sharded over its first dim)."""
 
     def kernel(p_loc, q_loc, nbr_loc, deg_loc, send_loc):
-        send_loc = send_loc[0]  # [S, H]
-        steps = send_loc.shape[0]
-        halos = []
-        # data moves RIGHTWARD: owner src -> src+1 -> ... -> src+s+1 == the
-        # receiver of step s (build_halo_plan's step convention)
-        perm = [(i, (i + 1) % n_parts) for i in range(n_parts)]
-        for s in range(steps if n_parts > 1 else 0):
-            buf = q_loc.at[send_loc[s]].get(mode="promise_in_bounds")
-            for _ in range(s + 1):
-                buf = jax.lax.ppermute(buf, axis, perm)
-            halos.append(buf)
-        q_ext = jnp.concatenate([q_loc] + halos, axis=0) if halos else q_loc
+        q_ext = halo_exchange(q_loc, send_loc[0], n_parts, axis)
         return _ell_local(p_loc, q_ext, nbr_loc, deg_loc)
 
     return shard_map(

@@ -6,8 +6,9 @@ Runs the ENTIRE flagship forward inside one `shard_map` region over the
 
   * dense projections (P/Q, lin2, shortcut, head) — local matmuls on each
     shard's [vp, C] slice (pure data parallelism over the vertex dim, MXU);
-  * EdgeConv aggregation — ring halo exchange (`ppermute` with the direct
-    (i -> i+s+1) permutation per step, one collective per ring distance)
+  * EdgeConv aggregation — PIPELINED ring halo exchange (one single-hop
+    `ppermute` of one filtered buffer per hop — per-hop ICI volume
+    constant in the partition count; stinet_tpu/parallel/halo.py)
     followed by the SAME `edge_conv_aggregate` dispatch as the single-chip
     model (ops/message_passing.py): the halo exchange is a standalone
     differentiable op (gather transposes to a boundary-only scatter-add,
@@ -39,26 +40,7 @@ from stinet_tpu.ops.ell import ell_pool_mean, ell_pool_max, ell_unpool
 from stinet_tpu.ops.message_passing import edge_conv_aggregate
 
 
-def _halo_exchange(q_loc, send_loc, n_parts, axis):
-    """Ship the planned boundary rows: at ring step s, device i sends
-    q_loc[send_loc[s]] to device (i+s+1) mod P in ONE ppermute. Returns
-    q_loc extended with the received halo blocks (index space matches
-    PartEdges.nbr_halo).
-
-    Differentiable by construction: the boundary gather transposes to a
-    scatter-add touching only the (unique-per-step, np.unique at plan
-    build) send rows, and each ppermute transposes to its inverse
-    permutation — exactly the manual backward the old fused halo-conv VJP
-    implemented, so autodiff through this + the gather-only ELL custom VJP
-    reproduces it with no vertex-sized scatters."""
-    if n_parts <= 1:
-        return q_loc
-    halos = []
-    for s in range(send_loc.shape[0]):
-        buf = q_loc.at[send_loc[s]].get(mode="promise_in_bounds")
-        perm = [(i, (i + s + 1) % n_parts) for i in range(n_parts)]
-        halos.append(jax.lax.ppermute(buf, axis, perm))
-    return jnp.concatenate([q_loc] + halos, axis=0)
+from stinet_tpu.parallel.halo import halo_exchange as _halo_exchange
 
 
 def _edge_conv_halo(p_loc, q_loc, edges: PartEdges, n_parts, axis):

@@ -344,11 +344,12 @@ def make_stacked_inpainting_steps(model, tx, use_mask_weighted,
         """Per-scene metric dicts + valid-vertex weights, scanned so the
         metric gathers (graph TV / Laplacian) also stay scene-local.
         Returns weighted SUMS and the weight total (psum-able)."""
-        per = jax.lax.map(
-            lambda cg: inpainting_metrics(cg[0], cg[1], loss),
-            (composite, sgraph))
-        w = jax.lax.map(
-            lambda g: jnp.sum(g.levels[0].vertex_mask()), sgraph)
+        def body(cg):
+            c, g = cg
+            return (inpainting_metrics(c, g, loss),
+                    jnp.sum(g.levels[0].vertex_mask()))
+
+        per, w = jax.lax.map(body, (composite, sgraph))
         return {k: jnp.sum(v * w) for k, v in per.items()}, jnp.sum(w)
 
     if mesh is not None:

@@ -57,6 +57,58 @@ def test_halo_edge_conv_matches(setup, n_parts):
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("n_parts", [4, 16, 32])
+def test_halo_plan_ring_simulation(rng, n_parts):
+    """Simulate the pipelined ring schedule in numpy (no devices): after S
+    chained gather+shift hops, every receiver's nbr_halo slot must resolve
+    to the value of its GLOBAL sender row — at pod-shaped partition counts
+    (16/32) no 8-device mesh test can reach."""
+    es = make_graph(rng, v_pad=1024, e=2000)
+    v_pad = es.degree.shape[0]
+    vp = v_pad // n_parts
+    nbr = np.asarray(es.nbr)
+    plan = build_halo_plan(nbr, v_pad, n_parts)
+
+    # per-device feature = its global row ids (so values identify rows)
+    q = np.arange(v_pad, dtype=np.int64)
+    q_loc = q.reshape(n_parts, vp)
+    steps = plan.send_idx.shape[1] if n_parts > 1 else 0
+    ext = [q_loc]                                  # received hop buffers
+    base = q_loc
+    for t in range(steps):
+        # chained gather from the previous hop's received buffer
+        sent = np.stack([base[d][plan.send_idx[d, t]]
+                         for d in range(n_parts)])
+        recv = np.roll(sent, 1, axis=0)            # ppermute i -> i+1
+        ext.append(recv)
+        base = recv
+    q_ext = np.concatenate(ext, axis=1)            # [P, vp + S*W]
+
+    dev = np.arange(v_pad) // vp
+    resolved = q_ext[dev[:, None], plan.nbr_halo]
+    np.testing.assert_array_equal(resolved, nbr)
+
+
+def test_halo_traffic_constant_per_hop(rng):
+    """Per-hop ICI volume (halo_width rows) must not grow with the
+    partition count the way the old re-forwarding schedule did (step-s
+    buffer shipped s+1 times => total O(P^2)). With the pipelined plan the
+    total shipped volume is S*W — near-linear in P on a locality-ordered
+    graph."""
+    es = make_graph(rng, v_pad=1024, e=2000)
+    nbr = np.asarray(es.nbr)
+    totals = {}
+    for n_parts in (4, 8, 16, 32):
+        plan = build_halo_plan(nbr, 1024, n_parts)
+        steps = plan.send_idx.shape[1]
+        totals[n_parts] = steps * plan.halo_width
+    # doubling P must not ~quadruple total traffic (old schedule did);
+    # allow 2.6x for boundary growth as partitions shrink
+    assert totals[8] <= 2.6 * totals[4], totals
+    assert totals[16] <= 2.6 * totals[8], totals
+    assert totals[32] <= 2.6 * totals[16], totals
+
+
 def test_halo_plan_invariants(rng):
     es = make_graph(rng)
     v_pad = es.degree.shape[0]

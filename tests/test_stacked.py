@@ -1,5 +1,5 @@
-"""Stacked batching (graph/build.py:build_stacked_graph + the vmapped
-steps in trainers/graph_common.py): per-scene tables on a leading batch
+"""Stacked batching (graph/build.py:build_stacked_graph + the
+scan-over-scenes steps in trainers/graph_common.py): per-scene tables on a leading batch
 axis, the layout multi-host data parallelism shards over hosts and the
 fix for the concatenated-table gather cliff (BENCH_NOTES batched probe).
 
@@ -64,7 +64,7 @@ def test_build_stacked_graph_structure(rng):
 
 
 def test_stacked_trainer_matches_concatenated(tmp_path, scene_roots4):
-    """Same scenes, same schedule: the stacked vmapped step must produce
+    """Same scenes, same schedule: the stacked scanned step must produce
     the SAME loss as the concatenated layout (the loss combine is exact:
     sum of per-scene weighted sums over sum of normalizers) and track its
     SGD trajectory."""
