@@ -13,13 +13,27 @@ Output contract (the driver parses the LAST parseable JSON line):
   line 1 (immediately, flushed): the last validated self-measured result,
       tagged detail.stale=true — so a timeout kill at ANY point still leaves
       a parseable line;
-  subsequent lines: live measurements, cumulative (f32+CPU baseline first,
-      then +bf16 windowed, then +train step), each printed the moment its
-      stage completes. A kill mid-run leaves the newest completed stage.
+  line 2 (cheap PATHFINDER): a small-V (16384) forward measured the moment
+      the device answers its first dispatch — the first LIVE line, landing
+      even when the tunnel spends minutes recovering (see below);
+  subsequent lines: live measurements, cumulative (flagship f32, then +CPU
+      baseline, +bf16 windowed, +train step, +batched, +stream), each
+      printed the moment its stage completes. A kill mid-run leaves the
+      newest completed stage.
+
+Tunnel pathology this design absorbs (measured, rounds 1-4): after any
+abnormal client exit the axon tunnel serves its FIRST dispatch only after
+150-370 s of recovery, while jax.devices() still answers instantly. A
+probe-subprocess-with-timeout loop therefore DEADLOCKS the budget: each
+killed probe is itself an abnormal exit that re-wedges the tunnel. So: no
+probes, ONE worker with the whole wall budget, whose own first tiny matmul
+absorbs the recovery (progress heartbeats on stderr), then the pathfinder
+line, then the expensive stages.
 
 Env knobs: BENCH_V (vertices, default 65536), BENCH_ITERS, BENCH_CPU_ITERS,
 BENCH_WALL_BUDGET_S (hard total budget, default 480 s — stages that do not
-fit are skipped; the script ALWAYS exits 0 within the budget).
+fit are skipped; the script ALWAYS exits 0 within the budget),
+BENCH_PATHFINDER=0 to skip the small-V stage.
 """
 import json
 import os
@@ -447,30 +461,6 @@ def bench_torch_cpu(scene, iters):
     return V / dt, dt, len(times)
 
 
-def _device_responsive(timeout_s):
-    # A tunnel recovering from a worker restart was measured taking 166 s and
-    # then 369 s to serve its first dispatch — short probe windows
-    # misclassify a recovering device as dead; the wall budget caps us anyway.
-    """Probe the device in a subprocess: a wedged TPU tunnel hangs any jax
-    call in-process, which would leave the driver with no output at all.
-    Honors BENCH_PLATFORM — a cpu-platform bench must not spend its budget
-    probing a wedged TPU tunnel it will never use (the axon plugin overrides
-    JAX_PLATFORMS at import time, so set the config knob inside the probe)."""
-    import subprocess
-    platform = os.environ.get("BENCH_PLATFORM")
-    cfg = (f"jax.config.update('jax_platforms', {platform!r});"
-           if platform else "")
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             f"import jax; {cfg}import jax.numpy as jnp;"
-             "print(float((jnp.ones((8,8)) @ jnp.ones((8,8))).sum()))"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def _result_line(value, vs_baseline, detail):
     return json.dumps({
         "metric": METRIC, "value": value, "unit": "vertices/s",
@@ -485,17 +475,121 @@ def _stale_line(note):
     return _result_line(value, vs, d)
 
 
+_STAGE = {"name": "start", "t": None}
+
+
+def _set_stage(name):
+    _STAGE["name"] = name
+    _STAGE["t"] = time.time()
+    print(f"[bench {time.time() - _WALL_START:6.1f}s] stage: {name}",
+          file=sys.stderr, flush=True)
+
+
+def _start_heartbeat(period=20):
+    """Daemon thread: stage + elapsed + RSS to stderr, so an abnormal worker
+    exit leaves a diagnosable tail (the parent folds stderr into the failure
+    note — VERDICT r3 item 1a)."""
+    import threading
+
+    def _rss_mb():
+        try:
+            with open("/proc/self/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS"):
+                        return int(ln.split()[1]) // 1024
+        except OSError:
+            pass
+        return -1
+
+    def _beat():
+        while True:
+            time.sleep(period)
+            dt = time.time() - (_STAGE["t"] or _WALL_START)
+            print(f"[bench {time.time() - _WALL_START:6.1f}s] in "
+                  f"{_STAGE['name']} for {dt:.0f}s rss={_rss_mb()}MB",
+                  file=sys.stderr, flush=True)
+
+    threading.Thread(target=_beat, daemon=True).start()
+
+
+def _bench_pathfinder(cached_cpu_vps):
+    """First LIVE line, as cheap as possible: V=16384 forward, ITERS=5.
+    The first device dispatch inside (init) absorbs any tunnel recovery —
+    measured 150-370 s after an abnormal client exit — so the flagship
+    stage that follows starts against a responsive device."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from stinet_tpu.graph.build import build_hierarchical_graph
+    from stinet_tpu.models.factory import define_G
+    from stinet_tpu.utils.synthetic import synthetic_scene
+
+    v_small = min(16384, V)
+    _set_stage("pathfinder build")
+    scene = synthetic_scene(num_vertices=v_small, levels=3, seed=0,
+                            dilation_dists=(2, 4, 8, 16))
+    graph = jax.device_put(build_hierarchical_graph([scene]))
+    model = define_G(input_nc=10, output_nc=3, ngf=NGF, n_blocks=N_BLOCKS,
+                     dilations=DILATIONS, norm="instance", pooling_type="max",
+                     n_levels=2, n_repeated_io_convs=1,
+                     filter_type="edgeconvtransinv", dtype=DTYPE)
+    _set_stage("pathfinder first dispatch (absorbs tunnel recovery)")
+    params = jax.device_put(
+        jax.jit(model.init)(jax.random.key(0), graph)["params"])
+
+    @jax.jit
+    def chain(params, graph, out):
+        x = graph.x.at[:, 0:3].add(out * 1e-6)
+        return model.apply({"params": params},
+                           dataclasses.replace(graph, x=x))
+
+    _set_stage("pathfinder compile+measure")
+    out = chain(params, graph, jnp.zeros((graph.x.shape[0], 3),
+                                         graph.x.dtype))
+    out = chain(params, graph, out)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = chain(params, graph, out)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / 5
+    vps = v_small / dt
+    detail = {"V": v_small, "dtype": DTYPE, "pathfinder": True,
+              "tpu_ms_per_scene": round(dt * 1e3, 2),
+              "platform": jax.devices()[0].platform,
+              "note": "small-V first-live-line stage; superseded by the "
+                      "flagship stages below",
+              "vs_baseline_basis": "cached_cpu_denominator"}
+    print(_result_line(
+        round(vps, 1),
+        round(vps / cached_cpu_vps, 2) if cached_cpu_vps else None,
+        detail), flush=True)
+
+
 def _worker():
+    # SIGTERM -> SystemExit: unwind + atexit so the PJRT client closes its
+    # tunnel channel cleanly. An abnormal client exit wedges the tunnel for
+    # the NEXT run (recovery grows past 350 s once several clients have
+    # died dirty), so every kill path must disconnect cleanly.
+    import signal
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     # honor an explicit platform request (the axon plugin overrides the
     # JAX_PLATFORMS env var at import time, so set the config knob too)
     if os.environ.get("BENCH_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    _start_heartbeat()
+    cached_cpu_vps = (_LAST_GOOD["value"] / _LAST_GOOD["vs_baseline"]
+                      if _LAST_GOOD.get("vs_baseline") else None)
+    if os.environ.get("BENCH_PATHFINDER", "1") != "0":
+        _bench_pathfinder(cached_cpu_vps)
+    _set_stage("flagship scene build")
     scene = build_scene()
     detail = {"V": V, "dtype": DTYPE,
               "scene": os.environ.get("BENCH_SCENE", "grid")}
     stages = bench_tpu_stages(scene)
 
+    _set_stage("flagship f32 inference")
     first = next(stages)  # f32 inference — the headline number
     tpu_vps = first.pop("_vps")
     detail.update(first)
@@ -506,8 +600,6 @@ def _worker():
     # discard a completed live device measurement (round-3 lesson: a
     # concurrent test suite stretched the baseline past the wall budget and
     # the whole run fell back to the stale line).
-    cached_cpu_vps = (_LAST_GOOD["value"] / _LAST_GOOD["vs_baseline"]
-                      if _LAST_GOOD.get("vs_baseline") else None)
     pre = dict(detail, vs_baseline_basis="cached_cpu_denominator")
     print(_result_line(
         round(tpu_vps, 1),
@@ -516,6 +608,7 @@ def _worker():
 
     # CPU baseline immediately after so the next printed line carries a
     # freshly measured vs_baseline
+    _set_stage("torch-CPU baseline")
     cpu_vps, cpu_dt, cpu_runs = bench_torch_cpu(scene, CPU_ITERS)
     detail.update({
         "torch_cpu_ms_per_scene": round(cpu_dt * 1e3, 2),
@@ -526,7 +619,8 @@ def _worker():
     print(_result_line(round(tpu_vps, 1), round(tpu_vps / cpu_vps, 2),
                        dict(detail)), flush=True)
 
-    for fragment in stages:  # bf16 windowed, then train step
+    for fragment in stages:  # bf16 windowed, train step, batched, stream
+        _set_stage("secondary: " + "/".join(fragment))
         detail.update(fragment)
         print(_result_line(round(tpu_vps, 1), round(tpu_vps / cpu_vps, 2),
                            dict(detail)), flush=True)
@@ -562,7 +656,14 @@ def _run_worker_streaming(deadline):
         while proc.poll() is None and time.time() < deadline:
             time.sleep(0.5)
         if proc.poll() is None:
-            proc.kill()
+            # SIGTERM first: a jax client killed with SIGKILL disconnects
+            # abnormally and wedges the tunnel for the NEXT run's first
+            # dispatch (150-370 s recovery, module docstring)
+            proc.terminate()
+            try:
+                proc.wait(timeout=8)
+            except Exception:
+                proc.kill()
             try:  # reap: without wait() returncode stays None (zombie)
                 proc.wait(timeout=10)
             except Exception:
@@ -577,28 +678,27 @@ def main():
     """Driver entry. Contract: ALWAYS prints the last-good line first
     (flushed), then live-measurement lines as stages complete; exits 0 within
     BENCH_WALL_BUDGET_S. The driver parses the last parseable line, so a
-    timeout kill at any point still yields a result (VERDICT r2 item 1)."""
+    timeout kill at any point still yields a result (VERDICT r2 item 1).
+
+    ONE worker gets the whole budget — no device probes, no kill/retry loop:
+    a killed jax client wedges the tunnel for minutes (module docstring), so
+    probing and retrying CREATES the unreachable device it then reports.
+    The only relaunch is after an early worker CRASH (clean nonzero exit),
+    which does not hold a device connection."""
     print(_stale_line("printed at start as a timeout-kill fallback; "
                       "superseded by any later line"), flush=True)
 
-    retries = int(os.environ.get("BENCH_RETRIES", 5))
-    retry_wait = float(os.environ.get("BENCH_RETRY_WAIT_S", 30))
-
     last_error = "wall budget exhausted before any attempt"
-    for attempt in range(retries):
-        remaining = _deadline() - time.time()
-        if remaining < 90:
+    for attempt in range(2):
+        started = time.time()
+        if _deadline() - started < 60:
             break
-        if attempt:
-            time.sleep(min(retry_wait, max(remaining - 75, 0)))
-        probe_t = max(30, min(_deadline() - time.time() - 60, 600))
-        if not _device_responsive(probe_t):
-            last_error = "device unreachable (tunnel hang)"
-            continue
         printed, rc, err = _run_worker_streaming(_deadline() - 5)
         if printed:
             return  # live lines already emitted; last one is the result
         last_error = f"worker rc={rc}: {err}"
+        if rc is None or rc < 0 or time.time() - started > 120:
+            break  # killed at deadline / long run: no budget for a retry
     print(_stale_line(f"no live measurement: {last_error}"), flush=True)
 
 
