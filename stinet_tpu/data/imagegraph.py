@@ -117,31 +117,46 @@ class ImageGraphTextureDataSet:
 
 class _Loader:
     """Minimal batched loader yielding (HierarchicalGraph, names). Caches the
-    padded topology (identical across batches) and refreshes features only."""
+    padded topology (identical across batches) and refreshes features only.
+
+    With `stacked`, every batch is a STACKED graph
+    (graph/build.py:build_stacked_graph — leaves carry a leading sample
+    axis; one slice per image). `batch_size` is then the GLOBAL batch:
+    multi-process, every host walks the same shuffled global schedule
+    (identical dataset + seed) and materializes only its process_index
+    slice — identical leaf shapes on every host by construction (all image
+    graphs share one topology, so no cross-host signature merge is
+    needed)."""
 
     def __init__(self, dataset: ImageGraphTextureDataSet, batch_size: int,
-                 shuffle: bool, seed: int = 0, max_batches: Optional[int] = None):
+                 shuffle: bool, seed: int = 0,
+                 max_batches: Optional[int] = None, stacked: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
         self._skeleton = None
         self.max_batches = max_batches
+        self.stacked = stacked
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
         return min(n, self.max_batches) if self.max_batches else n
 
-    def __iter__(self):
-        idx = np.arange(len(self.dataset))
-        if self.shuffle:
-            self._rng.shuffle(idx)
-        for b in range(len(self)):
-            sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = [self.dataset[i] for i in sel]
-            if self._skeleton is None:
-                self._skeleton = build_hierarchical_graph(samples)
-            g = self._skeleton
+    def _fill(self, g, samples, stacked):
+        """Refresh the cached skeleton's feature leaves (x/color/mask)."""
+        if stacked:
+            v_pad = g.x.shape[1]
+            x = np.zeros((len(samples), v_pad) + samples[0].x.shape[1:],
+                         np.float32)
+            color = np.zeros((len(samples), v_pad, 3), np.float32)
+            mask = np.zeros((len(samples), v_pad, 1), np.float32)
+            for bi, s in enumerate(samples):
+                n = s.x.shape[0]
+                x[bi, :n] = s.x
+                color[bi, :n] = s.color
+                mask[bi, :n] = s.mask
+        else:
             v_pad = g.x.shape[0]
             x = np.zeros((v_pad,) + samples[0].x.shape[1:], np.float32)
             color = np.zeros((v_pad, 3), np.float32)
@@ -153,8 +168,36 @@ class _Loader:
                 color[off:off + n] = s.color
                 mask[off:off + n] = s.mask
                 off += n
-            g = dataclasses.replace(g, x=x, color=color, mask=mask)
-            yield g, [s.name for s in samples]
+        return dataclasses.replace(g, x=x, color=color, mask=mask)
+
+    def __iter__(self):
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        if self.stacked:
+            from stinet_tpu.graph.build import build_stacked_graph
+            from stinet_tpu.parallel import multihost
+            p, np_ = multihost.process_index(), multihost.process_count()
+            assert self.batch_size % np_ == 0, \
+                f"global batch {self.batch_size} not divisible by " \
+                f"{np_} processes"
+            bl = self.batch_size // np_
+            for b in range(len(self)):
+                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                local = sel[p * bl:(p + 1) * bl]
+                samples = [self.dataset[i] for i in local]
+                if self._skeleton is None:
+                    self._skeleton, _ = build_stacked_graph(samples)
+                yield (self._fill(self._skeleton, samples, True),
+                       [s.name for s in samples])
+            return
+        for b in range(len(self)):
+            sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = [self.dataset[i] for i in sel]
+            if self._skeleton is None:
+                self._skeleton = build_hierarchical_graph(samples)
+            yield (self._fill(self._skeleton, samples, False),
+                   [s.name for s in samples])
 
 
 @DATALOADERS.register("ImageGraphTextureDataLoader")
@@ -182,18 +225,27 @@ class ImageGraphTextureDataLoader:
         self.val_dataset = ImageGraphTextureDataSet(
             val_imgs, is_train=False, seed=seed + 1, **common)
 
+        # stacked batching (leading sample axis; the multi-host layout):
+        # required for multi-host runs, optional single-host
+        # (config "stacked_batching")
+        from stinet_tpu.parallel import multihost
+        stacked = bool(c.get("stacked_batching", False)) \
+            or multihost.process_count() > 1
+        self.stacked = stacked
         self.train_loader = _Loader(self.train_dataset,
                                     c["train_batch_size"], shuffle=True,
-                                    seed=seed)
+                                    seed=seed, stacked=stacked)
         self.val_loader = _Loader(self.val_dataset, c["test_batch_size"],
-                                  shuffle=False)
+                                  shuffle=False, stacked=stacked)
         nstat = c.get("num_static_samples", 8)
         self.sample_train_loader = _Loader(
             self.train_dataset, c["train_batch_size"], shuffle=False,
-            max_batches=max(1, nstat // c["train_batch_size"]))
+            max_batches=max(1, nstat // c["train_batch_size"]),
+            stacked=stacked)
         self.sample_val_loader = _Loader(
             self.val_dataset, c["test_batch_size"], shuffle=False,
-            max_batches=max(1, nstat // c["test_batch_size"]))
+            max_batches=max(1, nstat // c["test_batch_size"]),
+            stacked=stacked)
 
     @staticmethod
     def _load_images(root_dir, max_items, img_size):

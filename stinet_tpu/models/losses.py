@@ -6,11 +6,12 @@ import jax
 import jax.numpy as jnp
 
 
-def cse_loss(logits, targets, weights=None, ignore_index=None,
-             valid_mask=None):
-    """CrossEntropyLoss over [N, C] logits and int targets, with optional
-    per-class weights and ignore_index (torch semantics: weighted mean =
-    sum(w_t * nll) / sum(w_t) over non-ignored rows)."""
+def cse_loss_terms(logits, targets, weights=None, ignore_index=None,
+                   valid_mask=None):
+    """Weighted-CE numerator/denominator (wsum, wnorm): loss =
+    wsum / max(wnorm, eps). Exposed separately so data-parallel layouts can
+    combine per-shard terms exactly (sum both, divide once — wnorm is
+    parameter-independent, so grads combine the same way)."""
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[:, None], axis=1)[:, 0]
     w = jnp.ones_like(nll)
@@ -20,7 +21,17 @@ def cse_loss(logits, targets, weights=None, ignore_index=None,
         w = w * (targets != ignore_index)
     if valid_mask is not None:
         w = w * valid_mask
-    return jnp.sum(nll * w) / jnp.maximum(jnp.sum(w), 1e-8)
+    return jnp.sum(nll * w), jnp.sum(w)
+
+
+def cse_loss(logits, targets, weights=None, ignore_index=None,
+             valid_mask=None):
+    """CrossEntropyLoss over [N, C] logits and int targets, with optional
+    per-class weights and ignore_index (torch semantics: weighted mean =
+    sum(w_t * nll) / sum(w_t) over non-ignored rows)."""
+    wsum, wnorm = cse_loss_terms(logits, targets, weights, ignore_index,
+                                 valid_mask)
+    return wsum / jnp.maximum(wnorm, 1e-8)
 
 
 def total_variation_loss(img, weight):

@@ -167,6 +167,19 @@ def place_stacked_graph(mesh, stacked):
             s, np.asarray(leaf)), stacked, shardings)
 
 
+def host_local_block(arr):
+    """This process's contiguous dim-0 block of a global array sharded on
+    dim 0 (np.asarray when fully addressable / replicated). Recovers the
+    local batch rows a host contributed through place_stacked_graph — the
+    inverse placement, e.g. for per-scene host-side postprocessing (FID
+    image buffers, full-scene IoU projection, visualization)."""
+    if getattr(arr, "is_fully_addressable", True):
+        return np.asarray(arr)
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
 def merge_widths_across_hosts(widths):
     """Max-merge stacked table-width dicts (graph/build.py:table_widths
     format) across processes so every host pads to one global signature.

@@ -94,16 +94,33 @@ class Inpainting2DTrainer(BaseTrainer):
             config["optimizer"], self.num_accum)
         self.lr_fn = step_lr(self.base_lr, config.get("lr_scheduler", {}))
 
+        # stacked batching (leading sample axis; the multi-host layout):
+        # the loader decides, the trainer follows
+        self._stacked = bool(getattr(self.data_loader, "stacked", False))
+        # mesh first: the stacked graph-branch steps shard the sample axis
+        # explicitly (shard_map); the 2d branch stays placement-driven
+        self._mesh = maybe_data_mesh(config.config, logger)
+
         example = self._example_graph()
+        ex_single = (jax.tree.map(lambda a: a[0], example)
+                     if self._stacked else example)
         key = jax.random.key(seed)
         if self.branch == "graph":
-            params = jax.jit(self.model.init)(key, example)["params"]
-            self._train_step, self._eval_step = self._make_graph_steps()
+            params = jax.jit(self.model.init)(key, ex_single)["params"]
+            if self._stacked:
+                self._train_step, self._eval_step = \
+                    self._make_stacked_graph_steps(self._mesh)
+            else:
+                self._train_step, self._eval_step = self._make_graph_steps()
         else:
-            n = example.num_graphs * self.img_size * self.img_size
-            img = self._to_images(example.x[:n])
+            n = ex_single.num_graphs * self.img_size * self.img_size
+            img = self._to_images(ex_single.x[:n])
             params = jax.jit(self.model.init)(key, img)["params"]
-            self._train_step, self._eval_step = self._make_2d_steps()
+            if self._stacked:
+                self._train_step, self._eval_step = \
+                    self._make_stacked_2d_steps()
+            else:
+                self._train_step, self._eval_step = self._make_2d_steps()
         logger.info("Number of parameters in %s: %d", self.branch,
                     count_parameters(params))
         self.state = TrainState(params=params, opt_state=self.tx.init(params),
@@ -115,8 +132,8 @@ class Inpainting2DTrainer(BaseTrainer):
                                  ndf=tcfg.get("ndf", 64), netD="n_layers",
                                  n_layers_D=tcfg.get("n_layers_D", 5),
                                  norm="instance")
-            n = example.num_graphs * self.img_size * self.img_size
-            dimg = self._to_images(example.x[:n])
+            n = ex_single.num_graphs * self.img_size * self.img_size
+            dimg = self._to_images(ex_single.x[:n])
             dinput = jnp.concatenate(
                 [dimg[..., 3:4], dimg[..., :3], dimg[..., :3]], axis=-1)
             dparams = self.disc.init(jax.random.key(seed + 1), dinput)["params"]
@@ -124,23 +141,21 @@ class Inpainting2DTrainer(BaseTrainer):
             self.disc_state = TrainState(
                 params=dparams, opt_state=self.disc_tx.init(dparams),
                 step=jnp.zeros((), jnp.int32))
-            self._gan_step = self._make_gan_step()
+            self._gan_step = (self._make_stacked_gan_step()
+                              if self._stacked else self._make_gan_step())
 
         if config.resume is not None:
             self._resume_checkpoint(config.resume)
 
         # Data parallelism over a device mesh behind the reference's n_gpu
         # key, same pattern as the 3D/segmentation trainers: replicate
-        # params/opt-state, shard each batch's vertex/pixel dim over `data`
-        # (GSPMD inserts the gradient psum; the image graphs' fixed sizes
-        # divide the power-of-two axis).
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                f"{type(self).__name__} supports single-host runs only; "
-                "multi-host (pod) training is implemented for the 3D "
-                "inpainting trainer via stacked batching "
-                "(PARITY.md: stacked data parallelism)")
-        self._mesh = maybe_data_mesh(config.config, logger)
+        # params/opt-state, shard each batch's sample (stacked) or
+        # vertex/pixel (concatenated) dim over `data`. Multi-host launches
+        # use the stacked layout (the loader switches automatically): the
+        # graph branch scans its local samples under shard_map with an
+        # exact equal-weight loss combine; the 2d/GAN branch runs GSPMD
+        # over cross-host global image arrays (identical global-mean
+        # numerics to the concatenated layout).
         self.state = replicate_to_mesh(self._mesh, self.state)
         if self.disc_state is not None:
             self.disc_state = replicate_to_mesh(self._mesh, self.disc_state)
@@ -170,6 +185,35 @@ class Inpainting2DTrainer(BaseTrainer):
     def _valid_rows(self, graph):
         n = int(graph.levels[0].num_vertices)
         return n
+
+    def _prep(self, graph):
+        """Place a batch for the jitted steps: stacked sample axis (incl.
+        the multi-host cross-host stitch) or the concatenated layout."""
+        if self._stacked:
+            from stinet_tpu.trainers.graph_common import place_stacked
+            return place_stacked(self._mesh, graph)
+        return place_graph_on_mesh(self._mesh, graph)
+
+    def _local_images(self, composite, n_local):
+        """This host's [b, s, s, 3] prediction images from a step's
+        composite output in any layout (concat rows / stacked rows / dense
+        images; global arrays reduced to the local block)."""
+        s = self.img_size
+        from stinet_tpu.parallel import multihost
+        arr = multihost.host_local_block(composite)
+        if arr.ndim == 4:                       # 2d branch: [B, s, s, 3]
+            return arr[:n_local]
+        if arr.ndim == 3:                       # stacked rows: [B, V, 3]
+            return arr[:n_local, :s * s].reshape(-1, s, s, 3)
+        return arr[:n_local * s * s].reshape(-1, s, s, 3)
+
+    def _gt_images(self, graph):
+        """Ground-truth [b, s, s, 3] images from a (host-local) batch."""
+        s = self.img_size
+        color = np.asarray(graph.color)
+        if color.ndim == 3:                     # stacked: [B, V, 3]
+            return color[:, :s * s].reshape(-1, s, s, 3)
+        return color[:graph.num_graphs * s * s].reshape(-1, s, s, 3)
 
     def _require_random_optin(self, what, key):
         """Fail closed: running a perceptual network with random weights
@@ -331,6 +375,111 @@ class Inpainting2DTrainer(BaseTrainer):
                 self._to_images(graph.color[:n])))
         return out
 
+    # ------------------------ stacked graph branch ---------------------
+    def _make_stacked_graph_steps(self, mesh):
+        """Scan-over-samples steps for STACKED image-graph batches (the
+        multi-host layout; mirrors graph_common.make_stacked_inpainting_
+        steps). The combine is EXACT for the loss: every sample has the
+        same pixel count, so the concatenated batch mean over B*H*W equals
+        the mean of per-sample means, and the perceptual terms (VGG
+        content/style, TV) are per-image means. Documented deviation
+        (same as the 3D stacked trainer): PSNR/graph_lap_var pool
+        per-sample then average."""
+        model = self.model
+        tx = self.tx
+        img_size = self.img_size
+
+        def to_img(flat, c):
+            return flat.reshape(-1, img_size, img_size, c)
+
+        def scene_loss(params, graph, train):
+            out = model.apply({"params": params}, graph, train=train)
+            composite = jnp.where(graph.mask > 0, out, graph.color)
+            n = img_size * img_size
+            loss = jnp.mean(jnp.abs(composite[:n] - graph.color[:n]))
+            loss = loss + self._perceptual_terms(
+                to_img(composite[:n], 3), to_img(graph.color[:n], 3))
+            return loss, composite
+
+        def local_grads(params, sgraph):
+            zero = (jax.tree.map(jnp.zeros_like, params), jnp.float32(0.0))
+
+            def body(carry, graph):
+                gsum, lsum = carry
+                (loss, composite), grads = jax.value_and_grad(
+                    scene_loss, has_aux=True)(params, graph, True)
+                m = self._graph_metrics(composite, graph, loss)
+                return (jax.tree.map(jnp.add, gsum, grads),
+                        lsum + loss), (composite, m)
+
+            (gsum, lsum), (composite, ms) = jax.lax.scan(body, zero, sgraph)
+            b = jnp.float32(composite.shape[0])
+            msums = jax.tree.map(jnp.sum, ms)
+            return gsum, lsum, b, msums, composite
+
+        def local_eval(params, sgraph):
+            def body(graph):
+                loss, composite = scene_loss(params, graph, False)
+                return composite, self._graph_metrics(composite, graph,
+                                                      loss), loss
+
+            composite, ms, losses = jax.lax.map(body, sgraph)
+            return (jnp.sum(losses), jnp.float32(composite.shape[0]),
+                    jax.tree.map(jnp.sum, ms), composite)
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            ax = mesh.axis_names[0]
+
+            def _psum_tree(t):
+                return jax.tree.map(lambda x: jax.lax.psum(x, ax), t)
+
+            def _grads_shard(params, sgraph):
+                gsum, lsum, b, msums, composite = local_grads(params, sgraph)
+                return (_psum_tree(gsum), jax.lax.psum(lsum, ax),
+                        jax.lax.psum(b, ax), _psum_tree(msums), composite)
+
+            def _eval_shard(params, sgraph):
+                lsum, b, msums, composite = local_eval(params, sgraph)
+                return (jax.lax.psum(lsum, ax), jax.lax.psum(b, ax),
+                        _psum_tree(msums), composite)
+
+            batch_grads = shard_map(
+                _grads_shard, mesh=mesh, in_specs=(P(), P(ax)),
+                out_specs=(P(), P(), P(), P(), P(ax)), check_vma=False)
+            batch_eval = shard_map(
+                _eval_shard, mesh=mesh, in_specs=(P(), P(ax)),
+                out_specs=(P(), P(), P(), P(ax)), check_vma=False)
+        else:
+            batch_grads = local_grads
+
+            def batch_eval(params, sgraph):
+                return local_eval(params, sgraph)
+
+        def _combine(lsum, b, msums):
+            out = {k: v / b for k, v in msums.items()}
+            out["loss"] = lsum / b
+            return out
+
+        def train_step(state, sgraph, lr):
+            gsum, lsum, b, msums, composite = batch_grads(state.params,
+                                                          sgraph)
+            grads = jax.tree.map(lambda g: g / b, gsum)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=params, opt_state=opt_state,
+                                      step=state.step + 1)
+            return new_state, _combine(lsum, b, msums)
+
+        def eval_step(state, sgraph):
+            lsum, b, msums, composite = batch_eval(state.params, sgraph)
+            return _combine(lsum, b, msums), composite
+
+        return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
     # ----------------------------- 2d branch ---------------------------
     def _make_2d_steps(self):
         model, tx = self.model, self.tx
@@ -371,8 +520,15 @@ class Inpainting2DTrainer(BaseTrainer):
     def _image_metrics(self, composite, graph, loss):
         b = graph.num_graphs
         n = b * self.img_size * self.img_size
+        return self._image_metrics_from(composite,
+                                        self._to_images(graph.color[:n]),
+                                        loss)
+
+    def _image_metrics_from(self, composite, color_img, loss):
+        """Per-batch image metrics from dense [B, H, W, C] tensors (shared
+        by the concatenated and stacked 2d layouts)."""
         flat = composite.reshape(-1, 3)
-        color = graph.color[:n].reshape(-1, 3)
+        color = color_img.reshape(-1, 3)
         mse = jnp.mean((flat - color) ** 2)
         out = {
             "loss": loss,
@@ -383,9 +539,122 @@ class Inpainting2DTrainer(BaseTrainer):
             "graph_lap_var": jnp.zeros(()),
         }
         if self.lpips is not None:
-            out[self.lpips_tag] = jnp.mean(self.lpips(
-                composite, self._to_images(graph.color[:n])))
+            out[self.lpips_tag] = jnp.mean(self.lpips(composite, color_img))
         return out
+
+    def _make_stacked_2d_steps(self):
+        """2d-branch steps on STACKED batches: the [B, V, C] feature
+        leaves reshape to dense [B, H, W, C] images inside jit. With the
+        sample axis sharded over the data mesh (incl. cross-host global
+        arrays, place_stacked_graph), GSPMD computes global batch means —
+        numerics identical to the concatenated layout (same pixels, same
+        reductions), no shard_map needed."""
+        model, tx = self.model, self.tx
+
+        def loss_fn(params, g, train):
+            x, color, mask = self._stacked_images(g)
+            out = model.apply({"params": params}, x, train=train)
+            composite = jnp.where(mask > 0, out, color)
+            loss = jnp.mean(jnp.abs(composite - color))
+            loss = loss + self._perceptual_terms(composite, color)
+            return loss, (composite, color)
+
+        def train_step(state, g, lr):
+            (loss, (composite, color)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, g, True)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            updates = jax.tree.map(lambda u: u * lr, updates)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(params=params, opt_state=opt_state,
+                                      step=state.step + 1)
+            return new_state, self._image_metrics_from(composite, color,
+                                                       loss)
+
+        def eval_step(state, g):
+            loss, (composite, color) = loss_fn(state.params, g, False)
+            return self._image_metrics_from(composite, color,
+                                            loss), composite
+
+        return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
+
+    def _stacked_images(self, g):
+        """[B, V, C] stacked feature leaves -> dense [B, H, W, C] images
+        (valid rows are a per-sample prefix of length H*W)."""
+        s = self.img_size
+        n = s * s
+        return (g.x[:, :n].reshape(-1, s, s, g.x.shape[-1]),
+                g.color[:, :n].reshape(-1, s, s, 3),
+                g.mask[:, :n].reshape(-1, s, s, 1))
+
+    def _make_stacked_gan_step(self):
+        """Conditional PatchGAN D/G alternation on STACKED batches: same
+        alternation as _make_gan_step over dense images extracted from the
+        stacked leaves; global arrays make the same jitted program correct
+        multi-host (D and G losses are global batch means)."""
+        disc = self.disc
+        tx, dtx = self.tx, self.disc_tx
+        gm_mode = self.gan_mode
+        model = self.model
+
+        def gan_step(state, dstate, g, lr):
+            x, color, mask = self._stacked_images(g)
+            prior = jnp.concatenate([color * (1 - (mask > 0)), mask], -1)
+
+            def g_out(params):
+                out = model.apply({"params": params}, x, train=True)
+                return jnp.where(mask > 0, out, color)
+
+            fake = jax.lax.stop_gradient(g_out(state.params))
+
+            def d_loss_fn(dparams):
+                pf = disc.apply({"params": dparams},
+                                jnp.concatenate([prior, fake], -1),
+                                train=True)
+                pr = disc.apply({"params": dparams},
+                                jnp.concatenate([prior, color], -1),
+                                train=True)
+                lf = gan_loss(pf, False, gm_mode)
+                lr_ = gan_loss(pr, True, gm_mode)
+                acc_f = jnp.mean(1.0 - jax.nn.sigmoid(pf))
+                acc_r = jnp.mean(jax.nn.sigmoid(pr))
+                return (lf + lr_) * 0.5, (lf, lr_, acc_f, acc_r)
+
+            (dl, (lf, lr_, acc_f, acc_r)), dgrads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(dstate.params)
+            dupd, dopt = dtx.update(dgrads, dstate.opt_state, dstate.params)
+            dupd = jax.tree.map(lambda u: u * lr, dupd)
+            dparams = optax.apply_updates(dstate.params, dupd)
+            dstate = dstate.replace(params=dparams, opt_state=dopt,
+                                    step=dstate.step + 1)
+
+            def g_loss_fn(params):
+                fake = g_out(params)
+                loss = jnp.mean(jnp.abs(fake - color))
+                if self.use_total_variation:
+                    loss = loss + total_variation_loss(
+                        fake, self.total_variation_weight)
+                pf = disc.apply({"params": dstate.params},
+                                jnp.concatenate([prior, fake], -1),
+                                train=True)
+                lg = gan_loss(pf, True, gm_mode)
+                return loss + self.gan_loss_weight * lg, (fake, lg)
+
+            (gl, (fake, lg)), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.params)
+            upd, opt = tx.update(grads, state.opt_state, state.params)
+            upd = jax.tree.map(lambda u: u * lr, upd)
+            params = optax.apply_updates(state.params, upd)
+            state = state.replace(params=params, opt_state=opt,
+                                  step=state.step + 1)
+
+            metrics = self._image_metrics_from(fake, color, gl)
+            metrics.update({"loss_D_fake": lf, "loss_D_real": lr_,
+                            "loss_G": lg, "accuracy_D_fake": acc_f,
+                            "accuracy_D_real": acc_r})
+            return state, dstate, metrics
+
+        return jax.jit(gan_step, donate_argnums=(0, 1))
 
     def _make_gan_step(self):
         model, disc = self.model, self.disc
@@ -473,7 +742,7 @@ class Inpainting2DTrainer(BaseTrainer):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
             if self.profiler is not None:
                 self.profiler.step()
-            graph = place_graph_on_mesh(self._mesh, graph)
+            graph = self._prep(graph)
             if self.use_gan:
                 self.state, self.disc_state, metrics = self._gan_step(
                     self.state, self.disc_state, graph, lr)
@@ -504,16 +773,12 @@ class Inpainting2DTrainer(BaseTrainer):
         self._fid.reset("train_pred")
         n_img = self.img_size * self.img_size
         first = self._fid.num_samples("train_gt") == 0
-        for graph, _ in self.data_loader.sample_train_loader:
-            _, composite = self._eval_step(self.state, place_graph_on_mesh(self._mesh, graph))
-            b = graph.num_graphs
-            imgs = np.asarray(composite)[:b * n_img].reshape(
-                b, self.img_size, self.img_size, 3)
+        for graph, names in self.data_loader.sample_train_loader:
+            _, composite = self._eval_step(self.state, self._prep(graph))
+            imgs = self._local_images(composite, len(names))
             self._fid.add_images("train_pred", imgs)
             if first:
-                gt = np.asarray(graph.color)[:b * n_img].reshape(
-                    b, self.img_size, self.img_size, 3)
-                self._fid.add_images("train_gt", gt)
+                self._fid.add_images("train_gt", self._gt_images(graph))
         if first:
             self._fid.freeze_statistics("train_gt")
         fid = self._fid.fid_between("train_gt", "train_pred")
@@ -530,18 +795,16 @@ class Inpainting2DTrainer(BaseTrainer):
         n_img = self.img_size * self.img_size
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step(batch_idx, "valid")
-            metrics, composite = self._eval_step(self.state, place_graph_on_mesh(self._mesh, graph))
+            metrics, composite = self._eval_step(self.state,
+                                                 self._prep(graph))
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
             if fid_epoch:
-                b = graph.num_graphs
-                imgs = np.asarray(composite)[:b * n_img].reshape(
-                    b, self.img_size, self.img_size, 3)
+                b = len(names)
+                imgs = self._local_images(composite, b)
                 self._fid.add_images("val_pred", imgs)
                 if self._fid.num_samples("val_gt") < b * (batch_idx + 1):
-                    gt = np.asarray(graph.color)[:b * n_img].reshape(
-                        b, self.img_size, self.img_size, 3)
-                    self._fid.add_images("val_gt", gt)
+                    self._fid.add_images("val_gt", self._gt_images(graph))
         self.writer.set_step(epoch - 1, "epoch_valid", quiet=True)
         log = self.valid_metrics.result(write=True)
         if fid_epoch and self._fid.num_samples("val_pred"):
@@ -561,11 +824,10 @@ class Inpainting2DTrainer(BaseTrainer):
                             ("sample_val",
                              self.data_loader.sample_val_loader)):
             preds = []
-            for graph, _ in loader:
-                _, composite = self._eval_step(self.state, place_graph_on_mesh(self._mesh, graph))
-                b = graph.num_graphs
-                preds.append(np.asarray(composite)[:b * n_img].reshape(
-                    b, self.img_size, self.img_size, 3))
+            for graph, names in loader:
+                _, composite = self._eval_step(self.state,
+                                               self._prep(graph))
+                preds.append(self._local_images(composite, len(names)))
             if preds:
                 imgs = np.concatenate(preds)[:8] / 2.0 + 0.5
                 visualize_tensor(self.writer, f"predictions_{tag}", imgs)

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full-model compiles / multi-process launches (>60 s)
+
 from stinet_tpu.parallel import multihost
 
 

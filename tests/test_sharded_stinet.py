@@ -4,6 +4,9 @@ and backward must match the single-device model on the 8-device CPU mesh
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # full-model compiles / multi-process launches (>60 s)
 from jax.sharding import Mesh
 
 from stinet_tpu.graph.build import build_hierarchical_graph

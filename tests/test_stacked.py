@@ -150,6 +150,7 @@ def _run_driver(procs, port, local_devices, train_root, val_root,
     return outs
 
 
+@pytest.mark.slow
 def test_multiprocess_stacked_training_matches_single(tmp_path, rng):
     """THE multi-host test: 2 jax.distributed processes (2 CPU devices
     each, Gloo collectives) train the real Inpainting3DTrainer on a

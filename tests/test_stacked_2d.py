@@ -1,0 +1,102 @@
+"""Stacked batching for the 2D inpainting trainer
+(trainers/inpainting2d.py:_make_stacked_graph_steps / _make_stacked_2d_steps):
+the multi-host layout (VERDICT r3 item 4).
+
+Equal-size samples make the combines EXACT: the graph branch's scanned
+per-sample means average to the concatenated batch mean (same pixel count
+per sample), and the 2d branch computes the same global means over dense
+images. Both branches must reproduce the concatenated trajectory."""
+import jax
+import numpy as np
+import pytest
+
+from stinet_tpu.core.config import ConfigParser
+from stinet_tpu.core.registry import TRAINERS
+import stinet_tpu.trainers  # noqa: F401
+import stinet_tpu.data  # noqa: F401
+
+
+def make_2d_config(tmp_path, branch, batch=2, epochs=2, stacked=False,
+                   n_gpu=1, use_gan=False):
+    graph = branch == "graph"
+    return {
+        "name": "test2d", "n_gpu": n_gpu, "seed": 7,
+        "archs": {
+            "SurfaceTextureInpaintingNet": {"enabled": graph, "args": {
+                "input_nc": 4, "output_nc": 3, "ngf": 8, "n_blocks": 2,
+                "dilations": [1, 1], "norm": "instance",
+                "pooling_type": "mean", "n_levels": 2,
+                "n_repeated_io_convs": 1, "filter_type": "edgeconv"}},
+            "Resnet2D": {"enabled": not graph, "args": {
+                "input_nc": 4, "output_nc": 3, "ngf": 8, "n_blocks": 2,
+                "norm": "instance", "filter_type": "conv2d",
+                "use_dropout": False}}},
+        "data_loader": {"type": "ImageGraphTextureDataLoader", "args": {
+            "root_dir": "", "img_size": 32, "end_level": 3,
+            "crop_half_width": 8, "circle_radius": 4, "num_circles": 2,
+            "random_mask": False, "random_augmentation": False,
+            "max_items": 8, "train_batch_size": batch,
+            "test_batch_size": batch, "num_workers": 0,
+            "num_static_samples": 2, "stacked_batching": stacked}},
+        "lr_scheduler": {"type": "StepLR",
+                         "args": {"step_size": 100, "gamma": 0.5}},
+        "optimizer": {"type": "SGD", "args": {"lr": 1e-2, "momentum": 0.9}},
+        "loss": "", "metrics": [],
+        "trainer": {"type": "Inpainting2DTrainer", "epochs": epochs,
+                    "save_dir": str(tmp_path / "saved"),
+                    "do_validation": True, "batches_per_log": 100,
+                    "save_period": 1, "verbosity": 0,
+                    "monitor": "min val_loss", "early_stop": 10,
+                    "tensorboard": False, "use_gan": use_gan,
+                    "use_total_variation": False,
+                    "visualize_samples": False},
+        "eval": None, "vis": False, "git_hash": "test",
+    }
+
+
+def _run(tmp_path, branch, stacked, tag, **kw):
+    cfg = ConfigParser(make_2d_config(tmp_path / tag, branch,
+                                      stacked=stacked, **kw), dry_run=True)
+    trainer = TRAINERS.get("Inpainting2DTrainer")(cfg)
+    trainer.train()
+    return trainer
+
+
+def _assert_same_trajectory(tc, ts, rtol=1e-4):
+    np.testing.assert_allclose(ts.train_metrics.avg("loss"),
+                               tc.train_metrics.avg("loss"), rtol=1e-5)
+    np.testing.assert_allclose(ts.valid_metrics.avg("loss"),
+                               tc.valid_metrics.avg("loss"), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(tc.state.params),
+                    jax.tree_util.tree_leaves(ts.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=1e-6)
+
+
+@pytest.mark.parametrize("branch", ["graph", "2d"])
+def test_stacked_2d_matches_concatenated(tmp_path, branch):
+    tc = _run(tmp_path, branch, False, "concat")
+    ts = _run(tmp_path, branch, True, "stacked")
+    assert ts._stacked and not tc._stacked
+    _assert_same_trajectory(tc, ts)
+
+
+def test_stacked_2d_gan_matches_concatenated(tmp_path):
+    tc = _run(tmp_path, "2d", False, "concat", use_gan=True, epochs=1)
+    ts = _run(tmp_path, "2d", True, "stacked", use_gan=True, epochs=1)
+    _assert_same_trajectory(tc, ts)
+    for a, b in zip(jax.tree_util.tree_leaves(tc.disc_state.params),
+                    jax.tree_util.tree_leaves(ts.disc_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_stacked_2d_dp_mesh(tmp_path):
+    trainer = _run(tmp_path, "graph", True, "mesh", batch=4, n_gpu=4,
+                   epochs=1)
+    assert trainer._mesh is not None
+    g = trainer._example_graph()
+    placed = trainer._prep(g)
+    assert placed.x.sharding.num_devices == 4
+    assert not placed.x.sharding.is_fully_replicated
+    assert np.isfinite(trainer.train_metrics.avg("loss"))

@@ -218,26 +218,17 @@ def test_inpainting3d_end_to_end(tmp_path, rng):
     assert (cfg.save_dir / "model_best.ckpt").exists()
 
 
-def test_segmentation_end_to_end(tmp_path, rng):
-    train_root = str(tmp_path / "train")
-    val_root = str(tmp_path / "val")
-    from stinet_tpu.data.scannet import (
-        read_split, SCANNET_TRAIN_FILE, SCANNET_VAL_FILE)
-    for s in read_split(SCANNET_TRAIN_FILE)[:2]:
-        write_fake_scene(train_root, s, rng, seed_mask=False)
-        # add labels
-        p = os.path.join(train_root, "graphs", s + ".npz")
-        d = dict(np.load(p))
-        d["labels_0"] = rng.integers(0, 21, size=d["vertices_0"].shape[0])
-        np.savez(p, **d)
-    for s in read_split(SCANNET_VAL_FILE)[:1]:
-        write_fake_scene(val_root, s, rng, seed_mask=False)
-        p = os.path.join(val_root, "graphs", s + ".npz")
-        d = dict(np.load(p))
-        d["labels_0"] = rng.integers(0, 21, size=d["vertices_0"].shape[0])
-        np.savez(p, **d)
+def write_fake_label_scene(root, scene, rng):
+    """write_fake_scene + a labels_0 array (segmentation loader format)."""
+    write_fake_scene(root, scene, rng, seed_mask=False)
+    p = os.path.join(root, "graphs", scene + ".npz")
+    d = dict(np.load(p))
+    d["labels_0"] = rng.integers(0, 21, size=d["vertices_0"].shape[0])
+    np.savez(p, **d)
 
-    config = {
+
+def make_seg_config(tmp_path, train_root, val_root):
+    return {
         "name": "testseg", "n_gpu": 1, "seed": 49,
         "archs": {"SingleConvMeshNet": {"enabled": True, "args": {
             "feature_number": 9, "num_propagation_steps": 2,
@@ -262,7 +253,20 @@ def test_segmentation_end_to_end(tmp_path, rng):
                     "tensorboard": False},
         "eval": None, "vis": False, "git_hash": "test",
     }
-    cfg = ConfigParser(config, dry_run=True)
+
+
+def test_segmentation_end_to_end(tmp_path, rng):
+    train_root = str(tmp_path / "train")
+    val_root = str(tmp_path / "val")
+    from stinet_tpu.data.scannet import (
+        read_split, SCANNET_TRAIN_FILE, SCANNET_VAL_FILE)
+    for s in read_split(SCANNET_TRAIN_FILE)[:2]:
+        write_fake_label_scene(train_root, s, rng)
+    for s in read_split(SCANNET_VAL_FILE)[:1]:
+        write_fake_label_scene(val_root, s, rng)
+
+    cfg = ConfigParser(make_seg_config(tmp_path, train_root, val_root),
+                       dry_run=True)
     trainer = TRAINERS.get("GraphSegmentationTrainer")(cfg)
     log = trainer._train_epoch(1)
     assert np.isfinite(log["loss"])
