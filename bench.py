@@ -70,13 +70,12 @@ METRIC = "stinet3d_inference_vertices_per_sec_per_chip"
 # driver timeout at any point still leaves a parseable line, and re-printed
 # (tagged stale) if no live measurement lands inside the wall budget.
 _LAST_GOOD = {
-    "value": 8096076.0, "vs_baseline": 1192.32, "tpu_ms_per_scene": 8.09,
-    "measured": "2026-08-17 round 3 post one-hot-norm (live tunnel, all "
-                "stages: f32 8.09 ms/scene, bf16 7.78 ms, train step "
-                "38.0 ms, torch-CPU 9652 ms/scene pinned 8 threads "
-                "median-of-3; grid-surface synthetic scene, halo ladder "
-                "build; terrain hostile scene same run: f32 10.0 ms, "
-                "bf16 9.57 ms)"}
+    "value": 8180869.4, "vs_baseline": 2339.06, "tpu_ms_per_scene": 8.01,
+    "measured": "2026-08-20 round 4 full live run (all stages: f32 "
+                "8.01 ms/scene, bf16 windowed 7.61 ms, train step "
+                "39.0 ms, stacked-scan batched B=4 30.8 ms/dispatch = "
+                "7.70 ms/scene, torch-CPU 18738 ms/scene pinned 8 "
+                "threads median-of-3; grid-surface synthetic scene)"}
 
 
 def _deadline():

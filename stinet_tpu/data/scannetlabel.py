@@ -54,7 +54,13 @@ class ScanNetLabelDataSet:
         self._is_train = is_train
         self._no_train_cropped = no_train_cropped
         self._transform = transform
-        self._rng = np.random.default_rng(seed)
+        # Per-sample transform randomness is STATELESS — keyed by
+        # (seed, epoch, index) like ScanNetGraphColorDataSet — so an
+        # augmentation does not depend on which process/order accessed the
+        # sample (the multi-host stacked loader's single-process-
+        # equivalence invariant). Loaders advance the epoch via set_epoch.
+        self._seed = seed
+        self._epoch = 0
 
         approved = set(read_split(
             SCANNET_TRAIN_FILE if is_train else SCANNET_VAL_FILE))
@@ -72,6 +78,13 @@ class ScanNetLabelDataSet:
 
     def __len__(self):
         return len(self.index2filenames)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = int(epoch)
+
+    def _sample_rng(self, index: int):
+        return np.random.default_rng(
+            (int(self._seed), int(self._epoch), int(index)))
 
     def _load_graph(self, scene):
         npz = os.path.join(self._root_dir, "graphs", scene + ".npz")
@@ -118,7 +131,7 @@ class ScanNetLabelDataSet:
             dilated=dilated, labels=labels, name=scene, banded=banded)
         sample.original_index_traces = original_trace
         if self._transform is not None:
-            sample = self._transform(sample, self._rng)
+            sample = self._transform(sample, self._sample_rng(index))
         return sample
 
 
@@ -146,8 +159,16 @@ class ScanNetGraphDataLoader:
         compare_train_val(self.train_dataset.index2filenames,
                           self.val_dataset.index2filenames,
                           train_cropped=not c.get("no_train_cropped", False))
+        windowed = bool(c.get("windowed_graphs", False))
+        # stacked batching (scan-over-scenes per-scene tables): required
+        # for multi-host runs, optional single-host ("stacked_batching")
+        from stinet_tpu.parallel import multihost
+        stacked = bool(c.get("stacked_batching", False)) \
+            or multihost.process_count() > 1
+        self.stacked = stacked
         self.train_loader = _SceneLoader(
             self.train_dataset, c["train_batch_size"], shuffle=True,
-            seed=seed)
+            seed=seed, windowed=windowed, stacked=stacked)
         self.val_loader = _SceneLoader(
-            self.val_dataset, c["test_batch_size"], shuffle=False)
+            self.val_dataset, c["test_batch_size"], shuffle=False,
+            windowed=windowed, stacked=stacked)

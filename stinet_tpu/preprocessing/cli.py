@@ -48,11 +48,15 @@ def cmd_graphs(args):
 
 def cmd_crops(args):
     from stinet_tpu.preprocessing.crops import process_scene_crops
+    from stinet_tpu.preprocessing.crops import MIN_COARSE_VERTICES
+    min_coarse = (MIN_COARSE_VERTICES if args.min_coarse is None
+                  else args.min_coarse)
     for path in sorted(glob.glob(os.path.join(args.graphs, "graphs",
                                               "*.npz"))):
         written = process_scene_crops(
             path, args.out, block_size=args.block_size, stride=args.stride,
-            num_levels=args.num_levels, dilation_dists=args.dilations)
+            num_levels=args.num_levels, dilation_dists=args.dilations,
+            min_coarse_vertices=min_coarse)
         print(f"{os.path.basename(path)}: {len(written)} crops", flush=True)
 
 
@@ -60,11 +64,20 @@ def cmd_masks(args):
     from stinet_tpu.preprocessing.masks import generate_masks_for_scene
     for path in sorted(glob.glob(os.path.join(args.graphs, "graphs",
                                               "*.npz"))):
+        scene = os.path.basename(path).replace(".npz", "")
+        # project each scene mask into the scene's crop graphs via the
+        # vertex-index channel (reference approve_and_write_out_mask,
+        # observed_texture_map_generation.py:616-650)
+        crop_paths = sorted(glob.glob(os.path.join(
+            args.crops, "graphs", f"{scene}_*.npz"))) if args.crops else ()
         written = generate_masks_for_scene(
             path, os.path.join(args.out, "masks"), args.mask_name,
             num_masks=args.num_masks, radius=args.radius,
-            frac_masked=args.frac_masked, seed=args.seed)
-        print(f"{os.path.basename(path)}: {len(written)} masks", flush=True)
+            frac_masked=args.frac_masked, seed=args.seed,
+            crop_graph_paths=crop_paths)
+        print(f"{os.path.basename(path)}: {len(written)} masks"
+              + (f" (projected into {len(crop_paths)} crops)"
+                 if crop_paths else ""), flush=True)
 
 
 def cmd_observer_masks(args):
@@ -124,6 +137,9 @@ def main():
     c.add_argument("--block-size", type=float, default=3.0)
     c.add_argument("--stride", type=float, default=1.5)
     c.add_argument("--num-levels", type=int, default=3)
+    c.add_argument("--min-coarse", type=int, default=None,
+                   help="reject crops with fewer coarsest-level vertices "
+                        "(default: crops.MIN_COARSE_VERTICES)")
     c.add_argument("--dilations", nargs="+", type=int,
                    default=[2, 4, 6, 8, 16])
     c.set_defaults(fn=cmd_crops)
@@ -136,6 +152,9 @@ def main():
     m.add_argument("--radius", type=int, default=16)
     m.add_argument("--frac-masked", type=float, default=0.2)
     m.add_argument("--seed", type=int, default=0)
+    m.add_argument("--crops", default=None,
+                   help="crops output dir: project each scene mask into "
+                        "that scene's crop graphs (<scene>_<i>.npz)")
     m.set_defaults(fn=cmd_masks)
 
     o = sub.add_parser("observer-masks")

@@ -15,12 +15,144 @@ from stinet_tpu.data.scannetlabel import CLASS_WEIGHTS, CLASS_LABELS
 from stinet_tpu.metrics import MetricTracker
 from stinet_tpu.metrics.iou import IoU, confusion_matrix_update
 from stinet_tpu.models.factory import count_parameters
-from stinet_tpu.models.losses import cse_loss
+from stinet_tpu.models.losses import cse_loss, cse_loss_terms
 from stinet_tpu.models.singleconvmeshnet import SingleConvMeshNet
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
     TrainState, build_optimizer, step_lr, host_metrics,
-    maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh)
+    maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh, place_stacked)
+
+
+def make_stacked_segmentation_steps(model, tx, class_weights, num_classes,
+                                    mesh=None):
+    """Scan-over-scenes segmentation steps for STACKED batches (leading
+    scene axis on every leaf; graph/build.py:build_stacked_graph) — the
+    multi-host data-parallel layout, mirroring
+    graph_common.make_stacked_inpainting_steps.
+
+    Loss/gradients are EXACT vs the concatenated batch: weighted-CE
+    combines as loss = sum_b(wsum_b) / sum_b(wnorm_b) with the class-weight
+    normalizer wnorm_b parameter-independent (models/losses.py:
+    cse_loss_terms), so grads = sum_b grad(wsum_b) / sum_b(wnorm_b).
+    Confusion matrices are plain sums. All accumulators psum across the
+    mesh's data axis, so the trajectory is process-count-invariant
+    (tests/test_stacked_seg.py locks 2-process == 1-process).
+
+    BatchNorm semantics (documented deviation from the concatenated
+    layout): each scene normalizes with its OWN per-scene batch statistics
+    (batch-of-one BN — scenes are processed sequentially in the scan, so
+    cross-scene activation statistics do not exist at normalization time),
+    and the running-stats EMA advances ONE step per optimizer step using
+    the across-scene mean. Every scene's updated stats are computed from
+    the SAME incoming running stats: new_bs_i = (1-m)*ra + m*stats_i, so
+    mean_i(new_bs_i) = (1-m)*ra + m*mean_i(stats_i) — order-independent,
+    hence identical for any sharding of the scenes over hosts.
+    """
+    assert class_weights is not None
+
+    def _scene_train_wsum(params, batch_stats, graph):
+        vmask = graph.levels[0].vertex_mask()
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, graph,
+            train=True, mutable=["batch_stats"])
+        wsum, wnorm = cse_loss_terms(logits, graph.labels,
+                                     weights=class_weights, ignore_index=0,
+                                     valid_mask=vmask)
+        pred = jnp.argmax(logits, axis=-1)
+        conf = confusion_matrix_update(pred, graph.labels, num_classes,
+                                       vmask * (graph.labels != 0))
+        return wsum, (wnorm, conf, updates["batch_stats"])
+
+    def local_train_terms(params, batch_stats, sgraph):
+        """lax.scan over the local scenes, accumulating
+        (grads, wsum, wnorm, conf, batch-stat sums, scene count)."""
+        zero = (jax.tree.map(jnp.zeros_like, params),
+                jnp.float32(0.0), jnp.float32(0.0),
+                jnp.zeros((num_classes, num_classes), jnp.float32),
+                jax.tree.map(jnp.zeros_like, batch_stats),
+                jnp.float32(0.0))
+
+        def body(carry, graph):
+            gsum, wsum_a, wnorm_a, conf_a, bs_a, b_a = carry
+            (wsum, (wnorm, conf, new_bs)), grads = jax.value_and_grad(
+                _scene_train_wsum, has_aux=True)(params, batch_stats, graph)
+            carry = (jax.tree.map(jnp.add, gsum, grads),
+                     wsum_a + wsum, wnorm_a + wnorm, conf_a + conf,
+                     jax.tree.map(jnp.add, bs_a, new_bs), b_a + 1.0)
+            return carry, None
+
+        carry, _ = jax.lax.scan(body, zero, sgraph)
+        return carry
+
+    def local_eval_terms(params, batch_stats, sgraph):
+        def body(graph):
+            vmask = graph.levels[0].vertex_mask()
+            logits = model.apply(
+                {"params": params, "batch_stats": batch_stats}, graph,
+                train=False)
+            wsum, wnorm = cse_loss_terms(
+                logits, graph.labels, weights=class_weights, ignore_index=0,
+                valid_mask=vmask)
+            pred = jnp.argmax(logits, axis=-1)
+            conf = confusion_matrix_update(pred, graph.labels, num_classes,
+                                           vmask * (graph.labels != 0))
+            return wsum, wnorm, conf, pred
+
+        wsum, wnorm, conf, pred = jax.lax.map(body, sgraph)
+        return jnp.sum(wsum), jnp.sum(wnorm), jnp.sum(conf, axis=0), pred
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+
+        def _psum_tree(tree):
+            return jax.tree.map(lambda x: jax.lax.psum(x, ax), tree)
+
+        def _train_shard(params, batch_stats, sgraph):
+            gsum, wsum, wnorm, conf, bs_sum, b = local_train_terms(
+                params, batch_stats, sgraph)
+            return (_psum_tree(gsum), jax.lax.psum(wsum, ax),
+                    jax.lax.psum(wnorm, ax), jax.lax.psum(conf, ax),
+                    _psum_tree(bs_sum), jax.lax.psum(b, ax))
+
+        def _eval_shard(params, batch_stats, sgraph):
+            wsum, wnorm, conf, pred = local_eval_terms(
+                params, batch_stats, sgraph)
+            return (jax.lax.psum(wsum, ax), jax.lax.psum(wnorm, ax),
+                    jax.lax.psum(conf, ax), pred)
+
+        batch_train_terms = shard_map(
+            _train_shard, mesh=mesh, in_specs=(P(), P(), P(ax)),
+            out_specs=(P(), P(), P(), P(), P(), P()), check_vma=False)
+        batch_eval_terms = shard_map(
+            _eval_shard, mesh=mesh, in_specs=(P(), P(), P(ax)),
+            out_specs=(P(), P(), P(), P(ax)), check_vma=False)
+    else:
+        batch_train_terms = local_train_terms
+        batch_eval_terms = local_eval_terms
+
+    def train_step(state, sgraph, lr):
+        gsum, wsum, wnorm, conf, bs_sum, b = batch_train_terms(
+            state.params, state.batch_stats, sgraph)
+        denom = jnp.maximum(wnorm, 1e-8)
+        loss = wsum / denom
+        grads = jax.tree.map(lambda g: g / denom, gsum)
+        new_bs = jax.tree.map(lambda s: s / jnp.maximum(b, 1.0), bs_sum)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, opt_state=opt_state,
+                                  step=state.step + 1, batch_stats=new_bs)
+        return new_state, {"loss": loss}, conf
+
+    def eval_step(state, sgraph):
+        wsum, wnorm, conf, pred = batch_eval_terms(
+            state.params, state.batch_stats, sgraph)
+        loss = wsum / jnp.maximum(wnorm, 1e-8)
+        return {"loss": loss}, pred, conf
+
+    return (jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step))
 
 
 @TRAINERS.register("GraphSegmentationTrainer")
@@ -45,8 +177,14 @@ class GraphSegmentationTrainer(BaseTrainer):
         self.do_validation = tcfg.get("do_validation", True)
         self.batches_per_log = tcfg.get("batches_per_log", 1)
 
+        # stacked batching (scan-over-scenes per-scene tables; the
+        # multi-host layout): the loader decides, the trainer follows
+        self._stacked = bool(getattr(self.data_loader, "stacked", False))
+
         seed = config.get("seed", 123) or 123
         example = self._example_graph()
+        if self._stacked:  # init on one scene slice of the stacked batch
+            example = jax.tree.map(lambda a: a[0], example)
         variables = jax.jit(self.model.init)(
             jax.random.key(seed), example)
         params = variables["params"]
@@ -57,23 +195,24 @@ class GraphSegmentationTrainer(BaseTrainer):
             batch_stats=variables.get("batch_stats"))
 
         self.class_weights = jnp.asarray(CLASS_WEIGHTS[:self.num_classes])
-        self._train_step = jax.jit(self._make_train_step(),
-                                   donate_argnums=(0,))
-        self._eval_step = jax.jit(self._make_eval_step())
+        # Working data parallelism behind the reference's n_gpu key (its
+        # own DataParallel path is unreachable and broken,
+        # segmentation_trainer.py:34-35,148). Multi-host runs use the
+        # stacked layout: the loader switches to it automatically and the
+        # steps shard the scene axis over the mesh explicitly.
+        self._mesh = maybe_data_mesh(config.config, logger)
+        if self._stacked:
+            self._train_step, self._eval_step = \
+                make_stacked_segmentation_steps(
+                    self.model, self.tx, self.class_weights,
+                    self.num_classes, mesh=self._mesh)
+        else:
+            self._train_step = jax.jit(self._make_train_step(),
+                                       donate_argnums=(0,))
+            self._eval_step = jax.jit(self._make_eval_step())
 
         if config.resume is not None:
             self._resume_checkpoint(config.resume)
-
-        # Working data parallelism behind the reference's n_gpu key (its
-        # own DataParallel path is unreachable and broken,
-        # segmentation_trainer.py:34-35,148)
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                f"{type(self).__name__} supports single-host runs only; "
-                "multi-host (pod) training is implemented for the 3D "
-                "inpainting trainer via stacked batching "
-                "(PARITY.md: stacked data parallelism)")
-        self._mesh = maybe_data_mesh(config.config, logger)
         self.state = replicate_to_mesh(self._mesh, self.state)
 
         self.train_metrics = MetricTracker("loss", writer=self.writer)
@@ -85,6 +224,11 @@ class GraphSegmentationTrainer(BaseTrainer):
             for g, _ in loader:
                 return g
         raise RuntimeError("No data available")
+
+    def _place_graph(self, graph):
+        if self._stacked:
+            return place_stacked(self._mesh, graph)
+        return place_graph_on_mesh(self._mesh, graph)
 
     def _make_train_step(self):
         model, tx, weights = self.model, self.tx, self.class_weights
@@ -147,7 +291,7 @@ class GraphSegmentationTrainer(BaseTrainer):
         for batch_idx, (graph, names) in enumerate(loader):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
             self.state, metrics, conf = self._train_step(
-                self.state, place_graph_on_mesh(self._mesh, graph), lr)
+                self.state, self._place_graph(graph), lr)
             iou.add_matrix(conf)
             for k, v in host_metrics(metrics).items():
                 self.train_metrics.update(k, v)
@@ -175,21 +319,34 @@ class GraphSegmentationTrainer(BaseTrainer):
         for batch_idx, (graph, names) in enumerate(
                 self.data_loader.val_loader):
             metrics, pred, conf = self._eval_step(
-                self.state, place_graph_on_mesh(self._mesh, graph))
+                self.state, self._place_graph(graph))
             iou.add_matrix(conf)
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
-            if val_ds is not None and graph.num_graphs == 1:
+            if val_ds is None:
+                continue
+            # Full-resolution projection rows: stacked preds are [B, V]
+            # (this host's local scenes via host_local_block — multi-host,
+            # full_scene_mean_iou covers the local shard); concatenated
+            # preds are flat [V] and only single-scene batches project.
+            if self._stacked:
+                from stinet_tpu.parallel.multihost import host_local_block
+                rows = list(host_local_block(pred))
+            elif graph.num_graphs == 1:
+                rows = [np.asarray(pred)]
+            else:
+                rows = []
+            for name, p_row in zip(names, rows):
                 sample = None
                 try:
-                    idx = list(val_ds.index2filenames).index(names[0])
+                    idx = list(val_ds.index2filenames).index(name)
                     sample = val_ds[idx]
                 except (ValueError, AttributeError):
                     pass
                 orig = getattr(sample, "original_index_traces", None) \
                     if sample is not None else None
                 if orig is not None and sample.labels is not None:
-                    p_full = np.asarray(pred)[np.asarray(orig)]
+                    p_full = np.asarray(p_row)[np.asarray(orig)]
                     l_full = np.asarray(sample.labels)[
                         :len(orig)] if len(sample.labels) >= len(orig) \
                         else np.asarray(sample.labels)
@@ -220,10 +377,22 @@ class GraphSegmentationTrainer(BaseTrainer):
                                    "visualizations/")
             for graph, names in self.data_loader.val_loader:
                 _, pred, _ = self._eval_step(
-                    self.state, place_graph_on_mesh(self._mesh, graph))
-                n = int(graph.levels[0].num_vertices)
-                vis.visualize_result(names[0], np.asarray(pred)[:n],
-                                     np.asarray(graph.labels)[:n])
+                    self.state, self._place_graph(graph))
+                nvs = np.atleast_1d(
+                    np.asarray(graph.levels[0].num_vertices))
+                labels = np.asarray(graph.labels)
+                if self._stacked:  # [B, V] rows, one scene per row
+                    from stinet_tpu.parallel.multihost import \
+                        host_local_block
+                    rows = host_local_block(pred)
+                    for bi, name in enumerate(names):
+                        n = int(nvs[bi])
+                        vis.visualize_result(name, rows[bi, :n],
+                                             labels[bi, :n])
+                else:
+                    n = int(nvs[0])
+                    vis.visualize_result(names[0], np.asarray(pred)[:n],
+                                         labels[:n])
         log = self._valid_epoch(0)
         for key, value in log.items():
             self.logger.info("    %-15s: %s", str(key), value)
