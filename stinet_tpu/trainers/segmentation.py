@@ -237,17 +237,25 @@ class GraphSegmentationTrainer(BaseTrainer):
         def train_step(state, graph, lr):
             vmask = graph.levels[0].vertex_mask()
 
+            # Grads of the UN-normalized weighted-CE sum, divided by the
+            # (parameter-independent) weight total afterwards — the same
+            # float order as the stacked scan layout, so bs=1 stacked ==
+            # concat trajectories line up exactly (tests/test_stacked_seg.py).
             def loss_fn(params):
                 variables = {"params": params,
                              "batch_stats": state.batch_stats}
                 logits, updates = model.apply(
                     variables, graph, train=True, mutable=["batch_stats"])
-                loss = cse_loss(logits, graph.labels, weights=weights,
-                                ignore_index=0, valid_mask=vmask)
-                return loss, (logits, updates["batch_stats"])
+                wsum, wnorm = cse_loss_terms(
+                    logits, graph.labels, weights=weights, ignore_index=0,
+                    valid_mask=vmask)
+                return wsum, (wnorm, logits, updates["batch_stats"])
 
-            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+            (wsum, (wnorm, logits, new_bs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)
+            denom = jnp.maximum(wnorm, 1e-8)
+            loss = wsum / denom
+            grads = jax.tree.map(lambda g: g / denom, grads)
             updates, opt_state = tx.update(grads, state.opt_state,
                                            state.params)
             updates = jax.tree.map(lambda u: u * lr, updates)

@@ -37,7 +37,9 @@ cfg_dict = make_seg_config(__import__("pathlib").Path(work_dir),
                            train_root, val_root)
 cfg_dict["n_gpu"] = 4  # 4 global devices in both configurations
 cfg_dict["data_loader"]["args"]["train_batch_size"] = 4
-cfg_dict["data_loader"]["args"]["test_batch_size"] = 2
+# global val batch must also shard over the data=4 mesh; the 2-scene val
+# set tail-repeats up to 4 (data/scannet.py:_SceneLoader._produce)
+cfg_dict["data_loader"]["args"]["test_batch_size"] = 4
 cfg_dict["data_loader"]["args"]["stacked_batching"] = True
 cfg_dict["trainer"]["epochs"] = 2
 cfg_dict["optimizer"] = {"type": "SGD", "args": {"lr": 1e-2,
