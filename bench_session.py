@@ -8,8 +8,9 @@ every open measurement sequentially in a single process and prints one JSON
 line per result (all flushed, so a kill keeps completed stages):
 
   flagship        f32 inference, V=65536 grid (bench.py headline)
-  pallas_norm     STINET_PALLAS_NORM=1 A/B on the same forward (VERDICT r3
-                  item 6 — validate or delete the knob)
+  pallas_norm     direct XLA-vs-Pallas instance-norm kernel A/B (VERDICT r3
+                  item 6 — the knob was deleted after the kernel lost;
+                  this re-validates the recorded verdict)
   bf16_windowed   bf16 + RCM-windowed production config
   train_breakdown grad / grad+opt / grad+opt+metrics (fused ELL metric cost,
                   VERDICT r3 item 2)
@@ -112,17 +113,25 @@ def main():
              vertices_per_sec=round(V / dt, 1), V=V, dtype="float32",
              platform=jax.devices()[0].platform)
 
-    # ---- pallas instance norm A/B ----------------------------------------
+    # ---- pallas instance norm A/B (direct kernel micro-bench; the
+    # production dispatch knob was removed after round 4's measurement —
+    # ops/pallas/README.md — this stage re-validates the verdict) ---------
     if "pallas_norm" not in SKIP:
         try:
-            os.environ["STINET_PALLAS_NORM"] = "1"
-            chain_p = chain_fn(make_model("float32"))  # fresh jit, knob read
-            dt_p = timed(lambda o: chain_p(params, graph, o), out0)
-            emit("pallas_norm", ms_per_scene=round(dt_p * 1e3, 3))
+            from stinet_tpu.ops.norms import masked_instance_norm
+            from stinet_tpu.ops.pallas.instance_norm import (
+                pallas_instance_norm)
+            h = jax.random.normal(jax.random.key(1), (V, 128), jnp.float32)
+            nv = graph.levels[0].num_vertices
+            gid = graph.levels[0].graph_id
+            vm = graph.levels[0].vertex_mask(dtype=jnp.float32)
+            dt_x = timed(lambda a: masked_instance_norm(a, gid, 1, vm) + h,
+                         h)
+            dt_p = timed(lambda a: pallas_instance_norm(a, nv) + h, h)
+            emit("pallas_norm", xla_ms=round(dt_x * 1e3, 3),
+                 pallas_ms=round(dt_p * 1e3, 3))
         except Exception as e:  # noqa: BLE001 — record, keep session alive
             emit("pallas_norm", error=f"{type(e).__name__}: {e}"[:300])
-        finally:
-            os.environ.pop("STINET_PALLAS_NORM", None)
 
     # ---- bf16 windowed ----------------------------------------------------
     if "bf16_windowed" not in SKIP:

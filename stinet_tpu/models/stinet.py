@@ -61,17 +61,10 @@ class GraphNormLayer(nn.Module):
         if self.norm_type == "none":
             return x.astype(in_dtype)
         if self.norm_type == "instance":
-            v_pad = x.shape[0]
-            import os
-            if (os.environ.get("STINET_PALLAS_NORM") == "1"
-                    and num_graphs == 1 and jax.default_backend() == "tpu"
-                    and v_pad % 512 == 0 and x.dtype == jnp.float32):
-                # fused two-pass Pallas kernel (opt-in until verified on
-                # real hardware; interpret-mode correctness is tested)
-                from stinet_tpu.ops.pallas.instance_norm import (
-                    pallas_instance_norm)
-                return pallas_instance_norm(
-                    x, level.num_vertices, self.eps).astype(in_dtype)
+            # the Pallas two-pass kernel (ops/pallas/instance_norm.py) was
+            # measured SLOWER on v5e (2.10-2.15 ms vs XLA 1.19-1.97 ms at
+            # V=65k/H=128 — ops/pallas/README.md); it stays as a documented
+            # experiment, not a production dispatch path.
             return masked_instance_norm(
                 x, level.graph_id, num_graphs, vmask,
                 eps=self.eps).astype(in_dtype)
