@@ -343,18 +343,28 @@ def bench_tpu_stages(scene):
             return
         from stinet_tpu.serving import SceneInpainter as _SI
         server = _SI(model, params, geometric=False)
-        server.predict(scene)  # warm the bucket's compiled signature
         stream_scenes = _build_scenes(
             [100 + i for i in range(n_stream)], floor=60)
         if not stream_scenes:
             yield {"stream_skipped": "budget: no scenes built"}
             return
+        # Warm with the STREAM scenes, not just the bench scene: distinct
+        # scenes ratchet the per-server running-max table widths
+        # (serving._normalize_widths), and an unwarmed width step pays a
+        # fresh XLA compile inside the measured loop — round 4 measured
+        # 14.9 s/scene e2e that way vs ~0.3-0.7 s/scene steady-state.
+        # warmup() settles all widths BEFORE compiling (its docstring),
+        # which is the documented production pattern.
+        server.warmup(stream_scenes)
+        compiles_warm = server.num_compiles()
         t0 = time.perf_counter()
         n_done = sum(1 for _ in server.predict_stream(iter(stream_scenes)))
         stream_dt = (time.perf_counter() - t0) / max(n_done, 1)
         yield {"stream_scenes": n_done,
                "stream_ms_per_scene_e2e": round(stream_dt * 1e3, 2),
-               "stream_scenes_per_sec": round(1.0 / stream_dt, 2)}
+               "stream_scenes_per_sec": round(1.0 / stream_dt, 2),
+               "stream_compiles_in_loop":
+                   server.num_compiles() - compiles_warm}
 
     yield from _guard("stream", _stage_stream)
 

@@ -271,21 +271,37 @@ def main():
             emit("stacked_b4", error=f"{type(e).__name__}: {e}"[:300])
 
     # ---- XLA cost analysis (traffic agenda) --------------------------------
+    # Two programs: the f32 flagship and the bf16 WINDOWED production
+    # forward. If bf16's "bytes accessed" drops ~2x but its measured time
+    # doesn't (7.61 vs 8.01 ms in round 4), HBM bandwidth is NOT the
+    # binding constraint — the gathers are DMA-count/latency-bound and the
+    # residual-traffic agenda bottoms out (VERDICT r3 item 3).
     if "cost_analysis" not in SKIP:
+        def _cost(tag, m, g):
+            try:
+                ca = jax.jit(
+                    lambda p, gg: m.apply({"params": p}, gg)
+                ).lower(params, g).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                keys = ("flops", "bytes accessed", "bytes accessed output",
+                        "optimal_seconds")
+                emit("cost_analysis", program=tag,
+                     **{k.replace(" ", "_"): float(ca[k])
+                        for k in keys if k in ca})
+            except Exception as e:  # noqa: BLE001
+                emit("cost_analysis", program=tag,
+                     error=f"{type(e).__name__}: {e}"[:300])
+
+        _cost("flagship_f32", model, graph)
         try:
-            lowered = jax.jit(
-                lambda p, g: model.apply({"params": p}, g)).lower(params,
-                                                                  graph)
-            ca = lowered.compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            keys = ("flops", "bytes accessed", "bytes accessed output",
-                    "optimal_seconds")
-            emit("cost_analysis",
-                 **{k.replace(" ", "_"): float(ca[k])
-                    for k in keys if k in ca})
+            graph_w16 = jax.device_put(
+                build_hierarchical_graph([scene], windowed=True))
+            _cost("bf16_windowed", make_model("bfloat16"), graph_w16)
+            del graph_w16
         except Exception as e:  # noqa: BLE001
-            emit("cost_analysis", error=f"{type(e).__name__}: {e}"[:300])
+            emit("cost_analysis", program="bf16_windowed",
+                 error=f"{type(e).__name__}: {e}"[:300])
 
     # ---- torch CPU denominator (host-heavy; last) --------------------------
     if "torch_cpu" not in SKIP:
