@@ -105,13 +105,20 @@ def main():
     out0 = jnp.zeros((graph.x.shape[0], 3), jnp.float32)
 
     # ---- flagship f32 -----------------------------------------------------
+    # guarded: the tunnel's sporadic "TPU backend error (Internal)" crash
+    # class (BENCH_NOTES round 3/4) must not kill the later compile-only
+    # stages — a poisoned backend makes them fail too, but each failure is
+    # then recorded per stage instead of aborting the session.
     if "flagship" not in SKIP:
-        chain = chain_fn(model)
-        dt = timed(lambda o: chain(params, graph, o), out0,
-                   sync=lambda o: o.astype(jnp.float32))
-        emit("flagship", ms_per_scene=round(dt * 1e3, 3),
-             vertices_per_sec=round(V / dt, 1), V=V, dtype="float32",
-             platform=jax.devices()[0].platform)
+        try:
+            chain = chain_fn(model)
+            dt = timed(lambda o: chain(params, graph, o), out0,
+                       sync=lambda o: o.astype(jnp.float32))
+            emit("flagship", ms_per_scene=round(dt * 1e3, 3),
+                 vertices_per_sec=round(V / dt, 1), V=V, dtype="float32",
+                 platform=jax.devices()[0].platform)
+        except Exception as e:  # noqa: BLE001
+            emit("flagship", error=f"{type(e).__name__}: {e}"[:300])
 
     # ---- pallas instance norm A/B (direct kernel micro-bench; the
     # production dispatch knob was removed after round 4's measurement —
@@ -135,13 +142,16 @@ def main():
 
     # ---- bf16 windowed ----------------------------------------------------
     if "bf16_windowed" not in SKIP:
-        graph_w = jax.device_put(
-            build_hierarchical_graph([scene], windowed=True))
-        chain16 = chain_fn(make_model("bfloat16"))
-        dt16 = timed(lambda o: chain16(params, graph_w, o), out0,
-                     sync=lambda o: o.astype(jnp.float32))
-        emit("bf16_windowed", ms_per_scene=round(dt16 * 1e3, 3))
-        del graph_w
+        try:
+            graph_w = jax.device_put(
+                build_hierarchical_graph([scene], windowed=True))
+            chain16 = chain_fn(make_model("bfloat16"))
+            dt16 = timed(lambda o: chain16(params, graph_w, o), out0,
+                         sync=lambda o: o.astype(jnp.float32))
+            emit("bf16_windowed", ms_per_scene=round(dt16 * 1e3, 3))
+            del graph_w
+        except Exception as e:  # noqa: BLE001
+            emit("bf16_windowed", error=f"{type(e).__name__}: {e}"[:300])
 
     # ---- train breakdown (fused metrics cost) -----------------------------
     if "train_breakdown" not in SKIP:
@@ -182,32 +192,37 @@ def main():
             p2, o2 = opt_step(p, o, grads)
             return p2, o2, inpainting_metrics(comp, graph, loss)
 
-        it = max(ITERS // 3, 5)
-        grads = grad_only(params, graph)
-        float(jnp.sum(jax.tree_util.tree_leaves(grads)[0]))
-        t0 = time.perf_counter()
-        for _ in range(it):
-            # perturb params by the last grads so every dispatch is unique
-            pshift = jax.tree.map(lambda p, g: p + g * 1e-9, params, grads)
-            grads = grad_only(pshift, graph)
-        float(jnp.sum(jax.tree_util.tree_leaves(grads)[0]))
-        dt_g = (time.perf_counter() - t0) / it
-        p2, o2 = grad_opt(params, opt_state, graph)
-        t0 = time.perf_counter()
-        for _ in range(it):
-            p2, o2 = grad_opt(p2, o2, graph)
-        float(jnp.sum(jax.tree_util.tree_leaves(p2)[0]))
-        dt_go = (time.perf_counter() - t0) / it
-        p3, o3, m = grad_opt_metrics(params, opt_state, graph)
-        t0 = time.perf_counter()
-        for _ in range(it):
-            p3, o3, m = grad_opt_metrics(p3, o3, graph)
-        float(m["loss"])
-        dt_gom = (time.perf_counter() - t0) / it
-        emit("train_breakdown", grad_ms=round(dt_g * 1e3, 3),
-             grad_opt_ms=round(dt_go * 1e3, 3),
-             grad_opt_metrics_ms=round(dt_gom * 1e3, 3),
-             metrics_overhead_ms=round((dt_gom - dt_go) * 1e3, 3))
+        try:
+            it = max(ITERS // 3, 5)
+            grads = grad_only(params, graph)
+            float(jnp.sum(jax.tree_util.tree_leaves(grads)[0]))
+            t0 = time.perf_counter()
+            for _ in range(it):
+                # perturb params by the last grads so every dispatch is
+                # unique
+                pshift = jax.tree.map(lambda p, g: p + g * 1e-9, params,
+                                      grads)
+                grads = grad_only(pshift, graph)
+            float(jnp.sum(jax.tree_util.tree_leaves(grads)[0]))
+            dt_g = (time.perf_counter() - t0) / it
+            p2, o2 = grad_opt(params, opt_state, graph)
+            t0 = time.perf_counter()
+            for _ in range(it):
+                p2, o2 = grad_opt(p2, o2, graph)
+            float(jnp.sum(jax.tree_util.tree_leaves(p2)[0]))
+            dt_go = (time.perf_counter() - t0) / it
+            p3, o3, m = grad_opt_metrics(params, opt_state, graph)
+            t0 = time.perf_counter()
+            for _ in range(it):
+                p3, o3, m = grad_opt_metrics(p3, o3, graph)
+            float(m["loss"])
+            dt_gom = (time.perf_counter() - t0) / it
+            emit("train_breakdown", grad_ms=round(dt_g * 1e3, 3),
+                 grad_opt_ms=round(dt_go * 1e3, 3),
+                 grad_opt_metrics_ms=round(dt_gom * 1e3, 3),
+                 metrics_overhead_ms=round((dt_gom - dt_go) * 1e3, 3))
+        except Exception as e:  # noqa: BLE001
+            emit("train_breakdown", error=f"{type(e).__name__}: {e}"[:300])
         del p2, o2, p3, o3, opt_state
 
     # ---- stacked B=4 (scan) vs concat ------------------------------------
