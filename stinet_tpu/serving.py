@@ -21,11 +21,11 @@ of padded shapes for the compile cache to amortize across a traffic stream.
     over scenes — every
     gather stays inside a per-scene 65k-row table, so the per-scene cost
     tracks the single-scene dispatch; ``concat`` collates all scenes into
-    one big graph (the trainer's layout). The round-3 device probe showed
-    why stacked is the serving default: at 4x concatenated table size the
-    ELL aggregate runs ~5.6x slower (gather-locality cliff, BENCH_NOTES
-    round-3 probe agg_b1 1.61 ms vs agg_b4 8.99 ms), while the
-    multi-graph norm path costs almost nothing;
+    one big graph (the trainer's layout). stacked is the serving default
+    on MEASURED v5e numbers (BENCH_NOTES round 4): 30.8 ms/dispatch at
+    B=4 flagship = 7.70 ms/scene, vs 53.3 ms for the concatenated table
+    (gather-locality cliff — round-3 probe agg_b1 1.61 ms vs agg_b4
+    8.99 ms) and 107.5 ms for the vmapped layout it replaced;
   * ``predict_stream()`` — ordered streaming with threaded host builds
     overlapped against device dispatch (serving is host-bound: ~0.3 s
     padded-graph construction per 65k scene vs ~8 ms device forward);
@@ -134,10 +134,10 @@ class SceneInpainter:
         # leading scene axis. Each slice sees a single-scene graph
         # (num_graphs=1), so norms take the cheap single-graph path. The
         # scenes execute as a sequential lax.map, NOT a vmap: v5e A/B
-        # measured the vmapped layout at 107.5 ms for B=4 vs 39 ms for
-        # 4x single-scene dispatch — XLA's batched gathers destroy the
-        # per-scene table locality the stacked layout exists to preserve
-        # (BENCH_NOTES round-3 stacked probe). One dispatch still
+        # measured the vmapped layout at 107.5 ms for B=4 — XLA's batched
+        # gathers destroy the per-scene table locality the stacked layout
+        # exists to preserve — while the scanned layout lands at 30.8 ms
+        # (7.70 ms/scene, BENCH_NOTES round 4). One dispatch still
         # amortizes host<->device round-trips and, with a mesh, each
         # device scans only its own scene shard (shard_map: a scanned
         # axis must not be GSPMD-sharded or XLA gathers it first).
