@@ -26,3 +26,26 @@ def test_config_schema(path):
             define_G(**spec["args"])
     assert "optimizer" in config and "lr_scheduler" in config
     assert config["trainer"]["monitor"].split()[0] in ("min", "max")
+
+
+def test_2d_default_config_is_faithful():
+    """The SHIPPED 2D config must not normalize the degraded random-feature
+    mode (reference always loads real pretrained weights:
+    /root/reference/models/inception.py:13, models/losses/vgg16.py:15-22).
+    The default keeps the fail-closed gate armed with explicit null weight
+    keys; the _hermetic variant carries the documented opt-in."""
+    base = "experiments/2d_inpainting/config/config_stinet_imageinpainting"
+    with open(base + ".json") as f:
+        default = json.load(f)
+    tr = default["trainer"]
+    assert "allow_random_features" not in tr
+    # weight keys are present (discoverable) but unset -> startup fails
+    # fast with the conversion instructions when FID/LPIPS are enabled
+    assert tr["inception_weights"] is None
+    assert tr["lpips_weights"] is None
+    assert tr["use_val_fid"] and tr["use_lpips"]
+
+    with open(base + "_hermetic.json") as f:
+        hermetic = json.load(f)
+    assert hermetic["trainer"]["allow_random_features"] is True
+    assert hermetic["name"] != default["name"]
