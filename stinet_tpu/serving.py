@@ -53,6 +53,8 @@ import jax
 import numpy as np
 
 from stinet_tpu.graph.build import RawHierarchy, build_hierarchical_graph
+from stinet_tpu.transfer import device_put_packed, live_leaf_mask, \
+    pack_pytree, unpack_on_device
 
 
 def _unify_static_halos(graphs):
@@ -128,6 +130,12 @@ class SceneInpainter:
         # predict_stream's concurrent builds.
         self._widths = {}
         self._width_lock = threading.Lock()
+        # per-treedef liveness masks for the packed transfer: leaves the
+        # forward provably never reads (COO src/dst mirrors when the ELL
+        # path is engaged; color/mask, which feed only the loss) skip the
+        # host->device transfer and materialize as device zeros.
+        self._live_cache = {}
+        self._live_lock = threading.Lock()
         self._fwd = jax.jit(
             lambda p, g: self.model.apply({"params": p}, g))
         # stacked-batch forward: params broadcast, graph leaves carry a
@@ -158,12 +166,48 @@ class SceneInpainter:
 
     # -- building ------------------------------------------------------
     def _build(self, scenes: Sequence[RawHierarchy]):
+        """Build + width-normalize + place on device.
+
+        Placement goes through the PACKED single-buffer transfer
+        (stinet_tpu/transfer.py): a 77-leaf graph through per-leaf
+        `jax.device_put` measured 2.0 s on the v5e tunnel (~20 ms fixed
+        cost per transfer call) vs 35-150 ms for the same bytes as one
+        buffer — the round-4 751 ms/scene serving mystery, VERDICT r4
+        item 1."""
         graph = self._normalize_widths(build_hierarchical_graph(
             list(scenes), pad_multiple=self.pad_multiple,
             geometric=self.geometric, windowed=self.windowed))
-        if self.mesh is not None:
-            return jax.device_put(graph, self._replicated)
-        return jax.device_put(graph)
+        return device_put_packed(
+            graph, sharding=self._replicated if self.mesh is not None
+            else None, live=self._live_for(graph))
+
+    def _live_for(self, graph):
+        """Per-leaf liveness of `graph` under the forward (cached per
+        treedef — which fields the model reads does not depend on table
+        widths). `graph` must be SINGLE-scene shaped: the mask is derived
+        by abstractly tracing `model.apply` on its shapes, and reused
+        leaf-aligned for stacked batches (same treedef, leading scene
+        axis)."""
+        key = jax.tree_util.tree_structure(graph)
+        mask = self._live_cache.get(key)
+        if mask is None:
+            with self._live_lock:
+                mask = self._live_cache.get(key)
+                if mask is None:
+                    try:
+                        n_p = len(jax.tree_util.tree_leaves(self.params))
+                        full = live_leaf_mask(
+                            lambda p, g: self.model.apply({"params": p}, g),
+                            self.params, graph)
+                        mask = full[n_p:]
+                        self._live_cache[key] = mask
+                    except Exception:
+                        # fail-open (transfer everything, still correct):
+                        # e.g. from_checkpoint's template build runs with
+                        # empty params before restore. Not cached, so the
+                        # first post-restore build re-derives the mask.
+                        return None
+        return mask
 
     def _normalize_widths(self, graph):
         """Pad the data-dependent table dims onto per-server running
@@ -251,7 +295,14 @@ class SceneInpainter:
             # mesh's data axis (callers pad B to a multiple — predict_batch
             # does)
             return jax.device_put(stacked, self._scene_sharding)
-        return jax.device_put(stacked)
+        # single-device stacked batches take the packed one-buffer transfer
+        # too (B x 77 per-leaf puts would pay B x the tunnel's fixed
+        # per-call cost); the scene-sharded mesh branch above keeps plain
+        # device_put — a replicated packed buffer would move B x bytes to
+        # every device before slicing. The liveness mask is derived from a
+        # SINGLE-scene graph (same treedef; the scanned forward reads the
+        # same fields per scene).
+        return device_put_packed(stacked, live=self._live_for(graphs[0]))
 
     # -- inference -----------------------------------------------------
     def predict(self, scene: RawHierarchy) -> np.ndarray:
@@ -321,43 +372,73 @@ class SceneInpainter:
         return out[info.new_id[0]]
 
     def predict_stream(self, scenes: Iterable[RawHierarchy],
-                       build_workers: int = 4) -> Iterator[np.ndarray]:
-        """Inpaint a stream of scenes, overlapping host-side graph builds
-        with device compute; yields per-scene valid-vertex colors in input
-        order.
+                       build_workers: int = 4,
+                       inflight: int = 2) -> Iterator[np.ndarray]:
+        """Inpaint a stream of scenes as a three-stage pipeline; yields
+        per-scene valid-vertex colors in input order.
 
-        Serving is HOST-bound: padded-graph construction costs ~27 ms per
-        65k-vertex scene through the native C++ builder (graph/native,
-        whose C calls release the GIL; ~0.3 s on the numpy fallback)
-        against ~8 ms of device forward — so a thread pool of builders is
-        the throughput lever (default 4 ~= ceil(27/8), enough to saturate
-        the device on a multi-core host), and the device is kept trivially
-        busy by a single dispatcher. Early concurrent builds may land on
-        different
-        running-max widths (an extra compile or two before the ladder
-        plateaus); values are unaffected."""
+          stage 1 (thread pool)  build + width-normalize + PACK the graph
+                                 into one host buffer — pure host work, no
+                                 device calls (numpy's sorts and the native
+                                 C++ builder release the GIL);
+          stage 2 (this thread)  ONE `device_put` of the packed buffer
+                                 (transfers serialize on the interconnect
+                                 anyway — measured bench_h2d_probe.py:
+                                 two threaded 20 MB puts take as long as
+                                 sequential), jitted on-device unpack,
+                                 async forward dispatch, then an async
+                                 device->host copy of the output slice;
+          stage 3 (delayed)      block on scene i's host copy only after
+                                 scene i+1..i+inflight are dispatched, so
+                                 the readback round-trip of one scene
+                                 overlaps the transfer+compute of the next.
+
+        Round-4's implementation dispatched per-leaf `device_put`s (77
+        transfer calls x ~20 ms fixed tunnel cost = ~2 s/scene, hidden
+        only 4x by the build pool) and blocked on each scene's readback
+        before dispatching the next: 751 ms/scene e2e. The packed
+        pipeline's steady state is max(build/pool, one buffer transfer,
+        forward) per scene."""
         ex = concurrent.futures.ThreadPoolExecutor(
             max_workers=max(build_workers, 1))
         it = iter(scenes)
-        pending = collections.deque()
+        pending = collections.deque()    # (scene, future->(buf, spec))
+        done = collections.deque()       # (scene, out_slice) dispatched
         _end = object()   # None is a caller bug, not end-of-stream
+
+        def _host_prepare(s):
+            graph = self._normalize_widths(build_hierarchical_graph(
+                [s], pad_multiple=self.pad_multiple,
+                geometric=self.geometric, windowed=self.windowed))
+            return pack_pytree(graph, live=self._live_for(graph))
 
         def submit_next():
             s = next(it, _end)
             if s is not _end:
-                pending.append((s, ex.submit(self._build, [s])))
+                pending.append((s, ex.submit(_host_prepare, s)))
             return s is not _end
+
+        def dispatch_one():
+            s, fut = pending.popleft()
+            buf, spec = fut.result()
+            sharding = self._replicated if self.mesh is not None else None
+            graph = unpack_on_device(
+                jax.device_put(buf, sharding) if sharding is not None
+                else jax.device_put(buf), spec, sharding=sharding)
+            out = self._fwd(self.params, graph)[:s.num_vertices[0]]
+            if hasattr(out, "copy_to_host_async"):
+                out.copy_to_host_async()
+            done.append(out)
+            submit_next()
 
         try:
             for _ in range(max(build_workers, 1) + 1):
                 if not submit_next():
                     break
-            while pending:
-                s, fut = pending.popleft()
-                graph = fut.result()
-                out = self._fwd(self.params, graph)
-                submit_next()
-                yield np.asarray(out[:s.num_vertices[0]])
+            while pending or done:
+                while pending and len(done) <= max(inflight, 0):
+                    dispatch_one()
+                yield np.asarray(done.popleft())
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
 
