@@ -114,6 +114,25 @@ def test_sharded_backward_matches_single_device():
     jax.block_until_ready(new_params)
 
 
+def test_sharded_stinet_16_devices_subprocess():
+    """fwd+bwd equality at 16 partitions + dryrun_multichip(16) — one size
+    past the 8-device session mesh, in a subprocess with its own virtual
+    device count (VERDICT r4 item 8: catch ring-plan/schedule bugs that
+    only appear past 8)."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, PYTHONPATH="")
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    driver = os.path.join(os.path.dirname(__file__), "_mesh16_driver.py")
+    proc = subprocess.run([sys.executable, driver], env=env,
+                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                          text=True, timeout=900)
+    assert proc.returncode == 0, f"driver failed:\n{proc.stdout[-3000:]}"
+    assert "MESH16_OK" in proc.stdout
+
+
 def test_sharded_bf16_forward_backward_matches_single_device():
     """bf16 compute on the halo path (VERDICT r2 item 4): the sharded
     forward routes through the SAME edge_conv_aggregate dispatch as the
