@@ -84,8 +84,14 @@ def make_stacked_segmentation_steps(model, tx, class_weights, num_classes,
         carry, _ = jax.lax.scan(body, zero, sgraph)
         return carry
 
-    def local_eval_terms(params, batch_stats, sgraph):
-        def body(graph):
+    def local_eval_terms(params, batch_stats, sgraph, w):
+        """w: [B_local] per-scene validity weights — 0.0 zeroes a tail-
+        repeat row (data/scannet.py pads a short global batch by repeating
+        scenes to keep the [B] signature) out of the loss and confusion
+        accumulators so duplicated scenes cannot bias val metrics
+        (ADVICE r4). All-ones on full batches."""
+        def body(args):
+            graph, wi = args
             vmask = graph.levels[0].vertex_mask()
             logits = model.apply(
                 {"params": params, "batch_stats": batch_stats}, graph,
@@ -96,9 +102,9 @@ def make_stacked_segmentation_steps(model, tx, class_weights, num_classes,
             pred = jnp.argmax(logits, axis=-1)
             conf = confusion_matrix_update(pred, graph.labels, num_classes,
                                            vmask * (graph.labels != 0))
-            return wsum, wnorm, conf, pred
+            return wsum * wi, wnorm * wi, conf * wi, pred
 
-        wsum, wnorm, conf, pred = jax.lax.map(body, sgraph)
+        wsum, wnorm, conf, pred = jax.lax.map(body, (sgraph, w))
         return jnp.sum(wsum), jnp.sum(wnorm), jnp.sum(conf, axis=0), pred
 
     if mesh is not None:
@@ -116,9 +122,9 @@ def make_stacked_segmentation_steps(model, tx, class_weights, num_classes,
                     jax.lax.psum(wnorm, ax), jax.lax.psum(conf, ax),
                     _psum_tree(bs_sum), jax.lax.psum(b, ax))
 
-        def _eval_shard(params, batch_stats, sgraph):
+        def _eval_shard(params, batch_stats, sgraph, w):
             wsum, wnorm, conf, pred = local_eval_terms(
-                params, batch_stats, sgraph)
+                params, batch_stats, sgraph, w)
             return (jax.lax.psum(wsum, ax), jax.lax.psum(wnorm, ax),
                     jax.lax.psum(conf, ax), pred)
 
@@ -126,7 +132,7 @@ def make_stacked_segmentation_steps(model, tx, class_weights, num_classes,
             _train_shard, mesh=mesh, in_specs=(P(), P(), P(ax)),
             out_specs=(P(), P(), P(), P(), P(), P()), check_vma=False)
         batch_eval_terms = shard_map(
-            _eval_shard, mesh=mesh, in_specs=(P(), P(), P(ax)),
+            _eval_shard, mesh=mesh, in_specs=(P(), P(), P(ax), P(ax)),
             out_specs=(P(), P(), P(), P(ax)), check_vma=False)
     else:
         batch_train_terms = local_train_terms
@@ -146,9 +152,9 @@ def make_stacked_segmentation_steps(model, tx, class_weights, num_classes,
                                   step=state.step + 1, batch_stats=new_bs)
         return new_state, {"loss": loss}, conf
 
-    def eval_step(state, sgraph):
+    def eval_step(state, sgraph, w):
         wsum, wnorm, conf, pred = batch_eval_terms(
-            state.params, state.batch_stats, sgraph)
+            state.params, state.batch_stats, sgraph, w)
         loss = wsum / jnp.maximum(wnorm, 1e-8)
         return {"loss": loss}, pred, conf
 
@@ -229,6 +235,26 @@ class GraphSegmentationTrainer(BaseTrainer):
         if self._stacked:
             return place_stacked(self._mesh, graph)
         return place_graph_on_mesh(self._mesh, graph)
+
+    def _stacked_val_weights(self):
+        """Per-scene validity weights ([B_local], placed like the scene
+        axis) for stacked validation batches. The val loader pads a short
+        global batch by REPEATING scenes to keep the [B] signature
+        (data/scannet.py:_produce); that happens exactly when the val set
+        is smaller than the global test batch, with the repeats at global
+        tail positions — weight them 0 so duplicated scenes cannot bias
+        val loss / IoU / 'min val_loss' monitoring (ADVICE r4). All-ones
+        otherwise, which reproduces the unweighted accumulators bit-for-
+        bit (x*1.0)."""
+        from stinet_tpu.parallel import multihost
+        loader = self.data_loader.val_loader
+        B = loader.batch_size
+        w = np.zeros(B, np.float32)
+        w[:min(len(loader.dataset), B)] = 1.0
+        p, npc = multihost.process_index(), multihost.process_count()
+        bl = B // npc
+        w_local = w[p * bl:(p + 1) * bl]
+        return w_local, place_stacked(self._mesh, w_local)
 
     def _make_train_step(self):
         model, tx, weights = self.model, self.tx, self.class_weights
@@ -324,10 +350,16 @@ class GraphSegmentationTrainer(BaseTrainer):
         full_iou = IoU(self.num_classes, ignore_index=0)
         have_full = False
         val_ds = getattr(self.data_loader, "val_dataset", None)
+        if self._stacked:
+            w_local, w_dev = self._stacked_val_weights()
         for batch_idx, (graph, names) in enumerate(
                 self.data_loader.val_loader):
-            metrics, pred, conf = self._eval_step(
-                self.state, self._place_graph(graph))
+            if self._stacked:
+                metrics, pred, conf = self._eval_step(
+                    self.state, self._place_graph(graph), w_dev)
+            else:
+                metrics, pred, conf = self._eval_step(
+                    self.state, self._place_graph(graph))
             iou.add_matrix(conf)
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
@@ -339,7 +371,10 @@ class GraphSegmentationTrainer(BaseTrainer):
             # preds are flat [V] and only single-scene batches project.
             if self._stacked:
                 from stinet_tpu.parallel.multihost import host_local_block
-                rows = list(host_local_block(pred))
+                # drop tail-repeat rows (weight 0) from the projection too
+                rows = [r for r, wi in zip(host_local_block(pred), w_local)
+                        if wi > 0]
+                names = [n for n, wi in zip(names, w_local) if wi > 0]
             elif graph.num_graphs == 1:
                 rows = [np.asarray(pred)]
             else:
@@ -370,7 +405,14 @@ class GraphSegmentationTrainer(BaseTrainer):
         log["overall_accuracy"] = iou.overall_accuracy()
         if have_full:
             _, full_miou = full_iou.value()
-            log["full_scene_mean_iou"] = float(full_miou)
+            # multi-process, the projection loop only sees this host's
+            # local scene shard — tag the metric so it can never be
+            # mistaken for (or compared against) the global single-process
+            # value (ADVICE r4)
+            from stinet_tpu.parallel.multihost import process_count
+            key = ("full_scene_mean_iou" if process_count() <= 1
+                   else "full_scene_mean_iou_local")
+            log[key] = float(full_miou)
         for i, name in enumerate(CLASS_LABELS[:self.num_classes]):
             if not np.isnan(per_class[i]):
                 self.writer.set_step(epoch - 1, f"iou_{name}", quiet=True)
@@ -383,9 +425,15 @@ class GraphSegmentationTrainer(BaseTrainer):
             from stinet_tpu.utils.visualization import SemSegVisualizer
             vis = SemSegVisualizer(self.data_loader, SCANNET_COLOR_MAP,
                                    "visualizations/")
+            if self._stacked:
+                _, w_dev = self._stacked_val_weights()
             for graph, names in self.data_loader.val_loader:
-                _, pred, _ = self._eval_step(
-                    self.state, self._place_graph(graph))
+                if self._stacked:
+                    _, pred, _ = self._eval_step(
+                        self.state, self._place_graph(graph), w_dev)
+                else:
+                    _, pred, _ = self._eval_step(
+                        self.state, self._place_graph(graph))
                 nvs = np.atleast_1d(
                     np.asarray(graph.levels[0].num_vertices))
                 labels = np.asarray(graph.labels)

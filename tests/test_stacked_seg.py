@@ -97,6 +97,36 @@ def test_stacked_seg_dp_mesh(tmp_path, label_roots4):
     assert np.isfinite(log["val_loss"])
 
 
+def test_stacked_seg_val_tail_repeat_dedup(tmp_path, label_roots4):
+    """2-scene val set at test_batch_size=4: the loader tail-repeats both
+    scenes to fill the [4] signature; the validity weights must zero the
+    repeats so val loss / IoU match a repeat-free test_batch_size=2 run
+    bit-for-bit (same init seed, no training) — ADVICE r4."""
+    train_root, val_root = label_roots4
+
+    def val_log(tbs):
+        cfg_dict = make_seg_config(tmp_path / f"tbs{tbs}", train_root,
+                                   val_root)
+        cfg_dict["data_loader"]["args"]["train_batch_size"] = 2
+        cfg_dict["data_loader"]["args"]["test_batch_size"] = tbs
+        cfg_dict["data_loader"]["args"]["stacked_batching"] = True
+        cfg_dict["trainer"]["epochs"] = 1
+        cfg_dict["optimizer"] = {"type": "SGD", "args": {"lr": 1e-2}}
+        trainer = TRAINERS.get("GraphSegmentationTrainer")(
+            ConfigParser(cfg_dict, dry_run=True))
+        assert trainer._stacked
+        return trainer._valid_epoch(1)
+
+    log4 = val_log(4)   # 2 scenes + 2 tail repeats, weights (1,1,0,0)
+    log2 = val_log(2)   # exact batch, no repeats
+    np.testing.assert_allclose(log4["loss"], log2["loss"], rtol=1e-6)
+    np.testing.assert_allclose(log4["mean_iou"], log2["mean_iou"],
+                               rtol=1e-6)
+    if "full_scene_mean_iou" in log2:
+        np.testing.assert_allclose(log4["full_scene_mean_iou"],
+                                   log2["full_scene_mean_iou"], rtol=1e-6)
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("localhost", 0))
