@@ -66,16 +66,33 @@ DILATIONS = [1, 1, 1, 2, 4, 8, 16, 1, 1]
 
 METRIC = "stinet3d_inference_vertices_per_sec_per_chip"
 
+# Pinned torch-CPU denominator: median of the per-round medians measured so
+# far for the SAME pinned-8-thread median-of-3 config (round 3: 9652 ms,
+# round 4 driver: 9712 ms, round 4 builder: 18738 ms — the denominator
+# swings ~2x with host load, so the live ratio alone is not stable
+# evidence; VERDICT r4 item 7 / ADVICE r4). Every live line carries BOTH
+# vs_baseline (live denominator) and detail.vs_baseline_pinned (this
+# constant).
+PINNED_CPU_MS_PER_SCENE = 9711.6
+PINNED_CPU_VPS = 65536 / (PINNED_CPU_MS_PER_SCENE / 1e3)
+
 # Last validated self-measured result (BENCH_NOTES.md), printed FIRST so a
 # driver timeout at any point still leaves a parseable line, and re-printed
 # (tagged stale) if no live measurement lands inside the wall budget.
+# vs_baseline here uses the PINNED denominator (the round-4 live-host
+# denominator 18738 ms doubled vs round 3 with zero torch changes —
+# ADVICE r4 flagged the stale 2339x as overstated).
 _LAST_GOOD = {
-    "value": 8180869.4, "vs_baseline": 2339.06, "tpu_ms_per_scene": 8.01,
+    "value": 8180869.4,
+    "vs_baseline": round(8180869.4 / PINNED_CPU_VPS, 2),
+    "tpu_ms_per_scene": 8.01,
     "measured": "2026-08-20 round 4 full live run (all stages: f32 "
                 "8.01 ms/scene, bf16 windowed 7.61 ms, train step "
                 "39.0 ms, stacked-scan batched B=4 30.8 ms/dispatch = "
-                "7.70 ms/scene, torch-CPU 18738 ms/scene pinned 8 "
-                "threads median-of-3; grid-surface synthetic scene)"}
+                "7.70 ms/scene; torch-CPU denominators observed: 18738 "
+                "ms/scene builder run, 9712 ms driver run, pinned 8 "
+                "threads median-of-3; ratio shown uses the pinned "
+                "9711.6 ms denominator; grid-surface synthetic scene)"}
 
 
 def _deadline():
@@ -93,10 +110,19 @@ def build_scene(seed=0):
     are pickle-cached on disk: the QEM ladder costs 60-90 s of the wall
     budget at V=65536 and every tunnel-retry attempt would pay it again."""
     kind = os.environ.get("BENCH_SCENE", "grid")
+    return build_scene_of(kind, seed)
+
+
+def build_scene_of(kind, seed=0):
     if kind in ("sphere", "terrain"):
         import pickle
         from stinet_tpu.utils.hostile import hostile_scene
-        cache = f"/tmp/stinet_scene_{kind}_v{V}_s{seed}.pkl"
+        # repo-local (gitignored) cache, like .jax_cache: /tmp gets cleaned
+        # between the builder's warm run and the driver's round-end run
+        cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            ".bench_scenes")
+        os.makedirs(cdir, exist_ok=True)
+        cache = os.path.join(cdir, f"{kind}_v{V}_s{seed}.pkl")
         if os.path.exists(cache):
             with open(cache, "rb") as f:
                 return pickle.load(f)
@@ -112,11 +138,13 @@ def build_scene(seed=0):
                            dilation_dists=(2, 4, 8, 16))
 
 
-def bench_tpu_stages(scene):
+def bench_tpu_stages(scene, terrain_fut=None):
     """Generator: yields a detail-dict fragment after each completed stage
-    (f32 inference; bf16 windowed inference; train step). Later stages are
-    skipped when the wall deadline approaches so earlier results still
-    print."""
+    (f32 inference; bf16 windowed inference; hostile terrain; train step).
+    Later stages are skipped when the wall deadline approaches so earlier
+    results still print. `terrain_fut` is a host-thread future building the
+    hostile terrain scene (QEM ladder, 60-90 s uncached) started at worker
+    launch so it overlaps the earlier stages."""
     import jax
     from stinet_tpu.graph.build import build_hierarchical_graph
     from stinet_tpu.models.factory import define_G
@@ -218,6 +246,34 @@ def bench_tpu_stages(scene):
 
     if _remaining() > 90 and DTYPE == "float32":
         yield from _guard("bf16", _stage_bf16)
+
+    # hostile-family stage: the same f32 forward on a native-QEM-decimated
+    # terrain surface (utils/hostile.py) — irregular valences and longer
+    # dilated tables, the honest upper edge of the per-scene claim
+    # (round-4 self-measured: grid 8.07 ms vs terrain 10.0 ms, +24%;
+    # VERDICT r4 item 6 wants this spread in the driver artifact). The QEM
+    # build runs on a host thread started at worker launch and is
+    # pickle-cached repo-locally, so this stage's own cost is one forward
+    # compile (persistent-cached across runs) + the timed loop.
+    def _stage_terrain():
+        if terrain_fut is None or _remaining() < 120:
+            return
+        tscene = terrain_fut.result(timeout=max(_remaining() - 90, 5))
+        tgraph = jax.device_put(build_hierarchical_graph([tscene]))
+        out_t = chain(params, tgraph,
+                      jnp.zeros((tgraph.x.shape[0], 3), tgraph.x.dtype))
+        out_t = chain(params, tgraph, out_t)
+        float(jnp.sum(out_t))
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out_t = chain(params, tgraph, out_t)
+        float(jnp.sum(out_t))
+        t_dt = (time.perf_counter() - t0) / ITERS
+        del out_t, tgraph
+        yield {"terrain_ms_per_scene": round(t_dt * 1e3, 2),
+               "terrain_vertices_per_sec": round(V / t_dt, 1)}
+
+    yield from _guard("terrain", _stage_terrain)
 
     # tertiary: full training-step throughput (loss + grads + adam update);
     # remat off — memory is ample at this scale, recompute is pure overhead.
@@ -471,6 +527,12 @@ def bench_torch_cpu(scene, iters):
 
 
 def _result_line(value, vs_baseline, detail):
+    # every line carries the PINNED-denominator ratio alongside whatever
+    # basis vs_baseline used (live host measurement or cached) — the live
+    # torch-CPU denominator swings ~2x with host load (VERDICT r4 item 7)
+    detail = dict(detail,
+                  vs_baseline_pinned=round(value / PINNED_CPU_VPS, 2),
+                  pinned_cpu_ms_per_scene=PINNED_CPU_MS_PER_SCENE)
     return json.dumps({
         "metric": METRIC, "value": value, "unit": "vertices/s",
         "vs_baseline": vs_baseline, "detail": detail})
@@ -594,9 +656,18 @@ def _worker():
         _bench_pathfinder(cached_cpu_vps)
     _set_stage("flagship scene build")
     scene = build_scene()
+    # hostile terrain scene builds on a host thread (QEM ladder, pure host
+    # work) overlapping the flagship + CPU + bf16 stages; consumed by the
+    # terrain stage. BENCH_HOSTILE=0 disables.
+    terrain_fut = None
+    if (os.environ.get("BENCH_SCENE", "grid") == "grid"
+            and os.environ.get("BENCH_HOSTILE", "1") != "0"):
+        import concurrent.futures
+        terrain_fut = concurrent.futures.ThreadPoolExecutor(1).submit(
+            build_scene_of, "terrain", 0)
     detail = {"V": V, "dtype": DTYPE,
               "scene": os.environ.get("BENCH_SCENE", "grid")}
-    stages = bench_tpu_stages(scene)
+    stages = bench_tpu_stages(scene, terrain_fut)
 
     _set_stage("flagship f32 inference")
     first = next(stages)  # f32 inference — the headline number

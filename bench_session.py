@@ -21,7 +21,15 @@ line per result (all flushed, so a kill keeps completed stages):
   torch_cpu       pinned-thread reference denominator (median of 3)
 
 Env: BENCH_V (default 65536), BENCH_ITERS (default 30), SESSION_SKIP
-(comma-separated stage names to skip).
+(comma-separated stage names to skip), SESSION_COOLDOWN_S (supervisor
+retry cooldown, default 240).
+
+`--supervise` (VERDICT r4 item 5): run the session as a subprocess; if the
+worker dies abnormally (the tunnel's sporadic worker-crash class — see
+BENCH_NOTES round-4 crash log), wait out the tunnel's post-crash recovery
+window (measured 150-370 s) and relaunch ONCE, skipping every stage that
+already emitted a clean line, so a single mid-session crash costs one
+cooldown instead of the round's remaining measurements.
 """
 import dataclasses
 import json
@@ -328,5 +336,40 @@ def main():
     note("session complete")
 
 
+def supervise():
+    """Crash-tolerant wrapper (module docstring). Re-prints every worker
+    line immediately; a clean (error-free) stage line marks that stage done
+    so the relaunch skips it. Exactly one retry: repeated crashes mean the
+    host/tunnel is sick and burning more cooldowns helps nobody."""
+    import subprocess
+    done = set(SKIP)
+    cooldown = float(os.environ.get("SESSION_COOLDOWN_S", 240))
+    for attempt in range(2):
+        env = dict(os.environ, SESSION_SKIP=",".join(sorted(done)))
+        proc = subprocess.Popen([sys.executable, __file__], env=env,
+                                stdout=subprocess.PIPE, text=True)
+        for line in proc.stdout:
+            line = line.strip()
+            print(line, flush=True)
+            try:
+                row = json.loads(line)
+            except ValueError:
+                continue
+            if row.get("stage") and "error" not in row:
+                done.add(row["stage"])
+        rc = proc.wait()
+        if rc == 0:
+            return
+        note(f"worker died rc={rc} after stages {sorted(done)}")
+        if attempt == 0:
+            note(f"cooldown {cooldown:.0f}s (tunnel post-crash recovery), "
+                 f"then one retry")
+            time.sleep(cooldown)
+    note("giving up after retry; completed stages stand")
+
+
 if __name__ == "__main__":
-    main()
+    if "--supervise" in sys.argv:
+        supervise()
+    else:
+        main()

@@ -155,6 +155,24 @@ def main():
                       "packed_mbytes": round(buf.nbytes / 1e6, 1)}),
           flush=True)
 
+    # (d) packed + liveness-stripped (what predict_stream actually sends)
+    live = server._live_for(graph_h)
+    buf_l, spec_l = pack_pytree(graph_h, live=live)
+    g_dev = unpack_on_device(jax.device_put(buf_l), spec_l)
+    jax.block_until_ready(g_dev)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        buf_l, spec_l = pack_pytree(graph_h, live=live)
+        g_dev = unpack_on_device(jax.device_put(buf_l), spec_l)
+        jax.block_until_ready(g_dev)
+        ts.append(time.perf_counter() - t0)
+    print(json.dumps({"h2d_live_packed_total_ms": round(1e3 * min(ts), 1),
+                      "live_mbytes": round(buf_l.nbytes / 1e6, 1),
+                      "live_leaves": int(sum(live)),
+                      "dead_leaves": int(len(live) - sum(live))}),
+          flush=True)
+
     # ---- current predict_stream ----
     t0 = time.perf_counter()
     n_done = sum(1 for _ in server.predict_stream(iter(scenes)))
