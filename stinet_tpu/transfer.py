@@ -23,6 +23,21 @@ on-device copy is HBM-roofline, microseconds at these sizes). Encodings:
          little-endian view on the host — arithmetic, not bitcast, so the
          layout is pinned by this module at both ends). Halves the transfer
          bytes of the dominant int32 index tables, losslessly.
+  u16x   int32 leaves in [-1, 131069]: biased uint16 low halves plus a
+         1-bit-per-element overflow bitmap (packed 32/word). The flagship
+         V=65536 scene pads level 0 to 65664 rows, so its dominant index
+         tables (6.3 MB of the 15.7 MB wire image) overflow u16 by exactly
+         the pad margin — this encoding recovers the 2x anyway for ~3%%
+         bitmap overhead, losslessly. Decode: v = (lo | bit<<16) - 1.
+  u8i    int32 leaves in [-1, 254] (graph_id, small enums): biased uint8,
+         4 per word — 4x smaller, losslessly.
+  u8f    float32 leaves whose every value is an INTEGER in [0, 255]
+         (degree tables, 0/1 masks — integers are exactly representable in
+         float32, so the round-trip is bit-exact): uint8, 4 per word.
+
+All encodings are chosen per leaf from a single min/max/integrality scan
+and every one is EXACT — the unpacked pytree is bit-identical to the
+input (locked by tests/test_transfer.py round-trips).
 
 The unpack program is cached per (treedef, shapes, dtypes, encodings)
 signature; same-bucket scenes share one entry (serving's width ratchet
@@ -45,6 +60,9 @@ __all__ = ["pack_pytree", "unpack_on_device", "device_put_packed",
 _RAW32 = 0
 _U16 = 1
 _DEAD = 2
+_U16X = 3
+_U8I = 4
+_U8F = 5
 
 
 class _LeafSpec(NamedTuple):
@@ -68,6 +86,36 @@ def _u16_encodable(arr: np.ndarray) -> bool:
     # cannot fit uint16 never qualifies, skip the min/max scan
     mn, mx = int(arr.min()), int(arr.max())
     return mn >= -1 and mx <= 65534
+
+
+def _pick_encoding(arr: np.ndarray) -> int:
+    """One min/max(/integrality) scan choosing the tightest exact wire
+    encoding for `arr` (module docstring table)."""
+    if arr.size == 0:
+        return _RAW32
+    if arr.dtype == np.int32:
+        mn, mx = int(arr.min()), int(arr.max())
+        if mn >= -1:
+            if mx <= 254:
+                return _U8I
+            if mx <= 65534:
+                return _U16
+            if mx <= 131069:
+                return _U16X
+        return _RAW32
+    if arr.dtype == np.float32:
+        # sampled pre-check: real-valued feature leaves (colors, normals)
+        # are fractional almost everywhere, so a 1k-element probe rejects
+        # them without paying a full floor() pass over megabytes
+        head = arr.ravel()[:1024]
+        if np.any(head != np.floor(head)):
+            return _RAW32
+        mn, mx = float(arr.min()), float(arr.max())
+        if (0.0 <= mn and mx <= 255.0
+                and not np.any(arr != np.floor(arr))):
+            return _U8F
+        return _RAW32
+    return _RAW32
 
 
 def live_leaf_mask(fn, *abstract_args) -> Tuple[bool, ...]:
@@ -104,6 +152,24 @@ def live_leaf_mask(fn, *abstract_args) -> Tuple[bool, ...]:
     return tuple(v in used for v in jaxpr.invars)
 
 
+def _pad_view_u32(v: np.ndarray) -> np.ndarray:
+    """View a u8/u16 vector as u32 words, zero-padding the tail."""
+    per = 4 // v.dtype.itemsize
+    if v.size % per:
+        v = np.concatenate([v, np.zeros(per - v.size % per, v.dtype)])
+    return v.view(np.uint32)
+
+
+def _packbits_u32(bits: np.ndarray) -> np.ndarray:
+    """Pack a 0/1 uint8 vector into u32 words: element i lands at bit
+    (i % 32) of word (i // 32) — little-endian bits within each word,
+    little-endian bytes across the word, which is exactly what
+    np.packbits(bitorder='little') + a u32 view of the padded bytes give
+    on a little-endian host. The device decoder `_unbits` mirrors this."""
+    by = np.packbits(bits, bitorder="little")
+    return _pad_view_u32(by)
+
+
 def pack_pytree(tree, *, compress_indices: bool = True, live=None):
     """Flatten `tree` (4-byte-dtype leaves only) into (buffer, PackSpec).
 
@@ -132,12 +198,22 @@ def pack_pytree(tree, *, compress_indices: bool = True, live=None):
             raise TypeError(
                 f"pack_pytree: leaf dtype {arr.dtype} has itemsize "
                 f"{arr.dtype.itemsize}; only 4-byte dtypes are packable")
-        if compress_indices and _u16_encodable(arr):
+        enc = _pick_encoding(arr) if compress_indices else _RAW32
+        if enc == _U16:
             v = (arr.ravel().astype(np.int32) + 1).astype(np.uint16)
-            if v.size % 2:
-                v = np.concatenate([v, np.zeros(1, np.uint16)])
-            words = v.view(np.uint32)
-            enc = _U16
+            words = _pad_view_u32(v)
+        elif enc == _U16X:
+            biased = arr.ravel() + np.int32(1)  # max 131070: no overflow
+            lo = (biased & np.int32(0xFFFF)).astype(np.uint16)
+            hi = (biased >> np.int32(16)).astype(np.uint8)  # 0/1 by gate
+            words = np.concatenate(
+                [_pad_view_u32(lo), _packbits_u32(hi)])
+        elif enc == _U8I:
+            v = (arr.ravel().astype(np.int32) + 1).astype(np.uint8)
+            words = _pad_view_u32(v)
+        elif enc == _U8F:
+            v = arr.ravel().astype(np.uint8)
+            words = _pad_view_u32(v)
         else:
             words = arr.ravel().view(np.uint32)
             enc = _RAW32
@@ -150,16 +226,43 @@ def pack_pytree(tree, *, compress_indices: bool = True, live=None):
     return buf, PackSpec(treedef, tuple(specs), off)
 
 
+def _u16s_of(w, n):
+    """First n uint16 halves of u32 words, as int32 (little-endian halves,
+    mirroring `_pad_view_u32` on the host)."""
+    lo = (w & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    hi = (w >> jnp.uint32(16)).astype(jnp.int32)
+    return jnp.stack([lo, hi], axis=1).reshape(-1)[:n]
+
+
+def _u8s_of(w, n):
+    """First n uint8 bytes of u32 words, as int32."""
+    b = jnp.stack([(w >> jnp.uint32(8 * k)) & jnp.uint32(0xFF)
+                   for k in range(4)], axis=1)
+    return b.reshape(-1)[:n].astype(jnp.int32)
+
+
+def _unbits(w, n):
+    """First n bits of u32 words, as int32 0/1 (mirrors `_packbits_u32`)."""
+    bits = (w[:, None] >> jnp.arange(32, dtype=jnp.uint32)) & jnp.uint32(1)
+    return bits.reshape(-1)[:n].astype(jnp.int32)
+
+
 def _unpack_leaf(buf, spec: _LeafSpec):
     if spec.enc == _DEAD:
         return jnp.zeros(spec.shape, jnp.dtype(spec.dtype))
     w = jax.lax.slice(buf, (spec.off,), (spec.off + spec.nwords,))
+    n = int(np.prod(spec.shape, dtype=np.int64))
     if spec.enc == _U16:
-        n = int(np.prod(spec.shape, dtype=np.int64))
-        lo = (w & jnp.uint32(0xFFFF)).astype(jnp.int32)
-        hi = (w >> jnp.uint32(16)).astype(jnp.int32)
-        pairs = jnp.stack([lo, hi], axis=1).reshape(-1)[:n]
-        return (pairs - 1).reshape(spec.shape)
+        return (_u16s_of(w, n) - 1).reshape(spec.shape)
+    if spec.enc == _U16X:
+        nlo = (n + 1) // 2
+        lo = _u16s_of(jax.lax.slice(w, (0,), (nlo,)), n)
+        bit = _unbits(jax.lax.slice(w, (nlo,), (spec.nwords,)), n)
+        return (lo + (bit << 16) - 1).reshape(spec.shape)
+    if spec.enc == _U8I:
+        return (_u8s_of(w, n) - 1).reshape(spec.shape)
+    if spec.enc == _U8F:
+        return _u8s_of(w, n).astype(jnp.float32).reshape(spec.shape)
     out = jax.lax.bitcast_convert_type(w, jnp.dtype(spec.dtype))
     return out.reshape(spec.shape)
 

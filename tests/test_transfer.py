@@ -58,9 +58,59 @@ def test_roundtrip_u16_index_tables(rng):
 
 def test_roundtrip_u16_disqualified(rng):
     tables = {
-        "too_big": np.array([0, 65535], np.int32),       # 65535 > 65534
         "too_neg": np.array([-2, 5], np.int32),
         "wide": rng.integers(-2**31, 2**31 - 1, size=257, dtype=np.int32),
+        "past_u16x": np.array([0, 131070], np.int32),    # 131070 > 131069
+    }
+    buf, spec = pack_pytree(tables)
+    assert all(s.enc == 0 for s in spec.leaves)
+    out = unpack_on_device(jax.device_put(buf), spec)
+    _assert_tree_bitequal(tables, out)
+
+
+def test_roundtrip_u16x_overflow_bitmap(rng):
+    # the flagship case: index tables padded past 65535 by the pad margin
+    tables = {
+        "level0_like": rng.integers(-1, 65664, size=(513, 7),
+                                    dtype=np.int32),
+        "boundary": np.array([-1, 0, 65534, 65535, 131069], np.int32),
+        "odd_len": rng.integers(0, 131070, size=997, dtype=np.int32),
+        "all_high": np.full((65,), 131069, np.int32),
+    }
+    # force at least one >65534 value so level0_like can't pick plain u16
+    tables["level0_like"][0, 0] = 65663
+    buf, spec = pack_pytree(tables)
+    assert all(s.enc == 3 for s in spec.leaves)  # _U16X
+    out = unpack_on_device(jax.device_put(buf), spec)
+    _assert_tree_bitequal(tables, out)
+    raw_buf, _ = pack_pytree(tables, compress_indices=False)
+    assert buf.size < 0.6 * raw_buf.size  # ~2x minus bitmap overhead
+
+
+def test_roundtrip_u8_small_ints_and_integral_floats(rng):
+    tables = {
+        "graph_id_like": rng.integers(-1, 255, size=1001, dtype=np.int32),
+        "degree_like": rng.integers(0, 65, size=(513, 1)).astype(
+            np.float32),
+        "mask_like": (rng.random(777) < 0.5).astype(np.float32),
+        "u8i_boundary": np.array([-1, 0, 254], np.int32),
+        "u8f_boundary": np.array([0.0, 255.0], np.float32),
+    }
+    buf, spec = pack_pytree(tables)
+    assert all(s.enc in (4, 5) for s in spec.leaves)  # _U8I / _U8F
+    out = unpack_on_device(jax.device_put(buf), spec)
+    _assert_tree_bitequal(tables, out)
+    raw_buf, _ = pack_pytree(tables, compress_indices=False)
+    assert buf.size < 0.3 * raw_buf.size
+
+
+def test_u8f_disqualified_stays_raw():
+    tables = {
+        "fractional": np.array([0.5, 1.0], np.float32),
+        "negative": np.array([-1.0, 3.0], np.float32),
+        "too_big": np.array([0.0, 256.0], np.float32),
+        "nan": np.array([np.nan, 1.0], np.float32),
+        "inf": np.array([np.inf, 1.0], np.float32),
     }
     buf, spec = pack_pytree(tables)
     assert all(s.enc == 0 for s in spec.leaves)
