@@ -420,7 +420,12 @@ def bench_tpu_stages(scene, terrain_fut=None):
                "stream_ms_per_scene_e2e": round(stream_dt * 1e3, 2),
                "stream_scenes_per_sec": round(1.0 / stream_dt, 2),
                "stream_compiles_in_loop":
-                   server.num_compiles() - compiles_warm}
+                   server.num_compiles() - compiles_warm,
+               # per-phase attribution of the e2e number (overlapping
+               # phases — see serving.stream_stats docstring): on the
+               # tunnel the packed put dominates (wire MB / tunnel BW);
+               # on a PCIe host the same path is host-build-bound
+               "stream_phase_medians_ms": server.stream_stats()}
 
     yield from _guard("stream", _stage_stream)
 

@@ -47,6 +47,7 @@ import concurrent.futures
 import dataclasses
 import json
 import threading
+import time
 from typing import Iterable, Iterator, List, Optional, Sequence
 
 import jax
@@ -405,12 +406,19 @@ class SceneInpainter:
         pending = collections.deque()    # (scene, future->(buf, spec))
         done = collections.deque()       # (scene, out_slice) dispatched
         _end = object()   # None is a caller bug, not end-of-stream
+        stats = self._stream_stats = collections.defaultdict(list)
 
         def _host_prepare(s):
+            t0 = time.perf_counter()
             graph = self._normalize_widths(build_hierarchical_graph(
                 [s], pad_multiple=self.pad_multiple,
                 geometric=self.geometric, windowed=self.windowed))
-            return pack_pytree(graph, live=self._live_for(graph))
+            t1 = time.perf_counter()
+            buf, spec = pack_pytree(graph, live=self._live_for(graph))
+            stats["build_ms"].append((t1 - t0) * 1e3)
+            stats["pack_ms"].append((time.perf_counter() - t1) * 1e3)
+            stats["wire_mbytes"].append(buf.nbytes / 1e6)
+            return buf, spec
 
         def submit_next():
             s = next(it, _end)
@@ -422,12 +430,16 @@ class SceneInpainter:
             s, fut = pending.popleft()
             buf, spec = fut.result()
             sharding = self._replicated if self.mesh is not None else None
+            t0 = time.perf_counter()
             graph = unpack_on_device(
                 jax.device_put(buf, sharding) if sharding is not None
                 else jax.device_put(buf), spec, sharding=sharding)
+            t1 = time.perf_counter()
             out = self._fwd(self.params, graph)[:s.num_vertices[0]]
             if hasattr(out, "copy_to_host_async"):
                 out.copy_to_host_async()
+            stats["put_ms"].append((t1 - t0) * 1e3)
+            stats["dispatch_ms"].append((time.perf_counter() - t1) * 1e3)
             done.append(out)
             submit_next()
 
@@ -438,9 +450,25 @@ class SceneInpainter:
             while pending or done:
                 while pending and len(done) <= max(inflight, 0):
                     dispatch_one()
-                yield np.asarray(done.popleft())
+                out = done.popleft()
+                t0 = time.perf_counter()
+                res = np.asarray(out)
+                stats["d2h_wait_ms"].append((time.perf_counter() - t0) * 1e3)
+                yield res
         finally:
             ex.shutdown(wait=False, cancel_futures=True)
+
+    def stream_stats(self):
+        """Median per-scene phase costs of the LAST predict_stream run
+        (host build, pack, device_put submit, forward dispatch, blocking
+        d2h wait, wire MB). The phases overlap in steady state — build on
+        the pool, put/dispatch on the caller thread, d2h wait absorbing
+        whatever the pipeline failed to hide — so the medians do NOT sum
+        to the e2e per-scene time; they attribute it. Empty dict before
+        any stream runs."""
+        stats = getattr(self, "_stream_stats", None) or {}
+        return {k: round(float(np.median(v)), 2)
+                for k, v in stats.items() if v}
 
     # -- operations ----------------------------------------------------
     def warmup(self, scenes: Sequence[RawHierarchy],

@@ -145,6 +145,13 @@ def test_predict_stream_matches_predict_in_order(served):
     assert len(got) == len(scenes)
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+    # the per-phase attribution (bench.py stream stage detail) must cover
+    # every scene and carry the wire size
+    stats = server.stream_stats()
+    assert set(stats) == {"build_ms", "pack_ms", "wire_mbytes", "put_ms",
+                          "dispatch_ms", "d2h_wait_ms"}
+    assert stats["wire_mbytes"] > 0
+    assert len(server._stream_stats["build_ms"]) == len(scenes)
 
 
 def test_mesh_data_parallel_stacked_serving(served):
