@@ -26,9 +26,13 @@ of padded shapes for the compile cache to amortize across a traffic stream.
     B=4 flagship = 7.70 ms/scene, vs 53.3 ms for the concatenated table
     (gather-locality cliff — round-3 probe agg_b1 1.61 ms vs agg_b4
     8.99 ms) and 107.5 ms for the vmapped layout it replaced;
-  * ``predict_stream()`` — ordered streaming with threaded host builds
-    overlapped against device dispatch (serving is host-bound: ~0.3 s
-    padded-graph construction per 65k scene vs ~8 ms device forward);
+  * ``predict_stream()`` — ordered streaming as a 3-stage pipeline:
+    threaded host builds + packed-buffer encode, one-transfer H2D +
+    async dispatch, delayed d2h readback. On a PCIe host the stream is
+    host-build-bound (~36 ms warm native build + ~12 ms pack vs ~8 ms
+    device forward); on this environment's tunneled device the packed
+    wire transfer is the wall (see transfer.py and `stream_stats()` for
+    the per-phase attribution);
   * data-parallel serving over a ``jax.sharding.Mesh`` (``mesh=``):
     stacked batches shard one+ scene per device along the mesh's data
     axis — embarrassingly parallel, no collectives, throughput scales
