@@ -9,6 +9,17 @@ Times, each as its own jitted program on the same scene:
                    trainers/graph_common.py:inpainting_metrics)
   donated        — grad+opt with params/opt_state donated (the trainer's
                    actual aliasing, graph_common.py:266)
+  fwd/grad norm=none — the same network with every norm layer removed
+                   (same tables, same gathers): fwd delta attributes the
+                   norm forward cost, grad delta the norm fwd+VJP cost —
+                   the VERDICT r4 item 3 backward-pass attribution that a
+                   profiler can't give through the tunnel.
+
+The residual grad-minus-fwd time after subtracting the norm VJP is the
+gather/scatter VJP + weight-matmul VJP core: the EdgeConv gathers'
+backward is a segment scatter-add (ops/message_passing.py), which is the
+piece the windowed one-hot path turns back into MXU matmuls — compare
+BENCH_WINDOWED=1.
 
 Prints one JSON line per stage. Env: BENCH_V, BENCH_ITERS, BENCH_DTYPE,
 BENCH_SCENE (grid|sphere|terrain), STINET_WINDOWED* knobs as usual.
@@ -41,6 +52,15 @@ def main():
     from stinet_tpu.models.factory import define_G
     from stinet_tpu.trainers.graph_common import (
         build_optimizer, inpainting_loss, inpainting_metrics)
+
+    # tiny first dispatch: absorbs tunnel recovery (150-370 s after an
+    # abnormal client exit) on a 2x2 matmul instead of the full flagship
+    # init — the crash log (BENCH_NOTES round 4/5) implicates LARGE-program
+    # data dispatches right after recovery
+    t0 = time.time()
+    float(jnp.sum(jnp.ones((2, 2)) @ jnp.ones((2, 2))))
+    print(json.dumps({"probe_dispatch_s": round(time.time() - t0, 1),
+                      "platform": jax.devices()[0].platform}), flush=True)
 
     scene = build_scene()
     graph = jax.device_put(
@@ -101,7 +121,7 @@ def main():
                  donate_argnums=(0, 1))),
     ]
 
-    for name, fn in stages:
+    def run_stage(name, fn, params, opt_state, graph):
         p, o = params, opt_state
         t0 = time.perf_counter()
         s, p, o = fn(p, o, graph, jnp.float32(0.5))
@@ -120,6 +140,34 @@ def main():
             "windowed": WINDOWED,
             "scene": os.environ.get("BENCH_SCENE", "grid")}), flush=True)
         del p, o
+
+    for name, fn in stages:
+        run_stage(name, fn, params, opt_state, graph)
+
+    # ---- norm ablation: same network, every norm layer removed ----------
+    model_nn = dataclasses.replace(model, norm="none")
+    params_nn = jax.device_put(
+        jax.jit(model_nn.init)(jax.random.key(0), graph)["params"])
+    opt_state_nn = jax.device_put(tx.init(params_nn))
+
+    def loss_nn(p, g):
+        out = model_nn.apply({"params": p}, g)
+        loss, comp = inpainting_loss(out, g.color, g.mask, vmask, True)
+        return loss, comp
+
+    def stage_fwd_nn(params, opt_state, g, s):
+        return jnp.sum(loss_nn(params, perturb(g, s))[1]), params, opt_state
+
+    def stage_grad_nn(params, opt_state, g, s):
+        (_, comp), grads = jax.value_and_grad(loss_nn, has_aux=True)(
+            params, perturb(g, s))
+        return jnp.sum(comp) + jax.tree.reduce(
+            lambda a, b: a + jnp.sum(b), grads, 0.0), params, opt_state
+
+    run_stage("fwd norm=none", jax.jit(stage_fwd_nn), params_nn,
+              opt_state_nn, graph)
+    run_stage("grad norm=none", jax.jit(stage_grad_nn), params_nn,
+              opt_state_nn, graph)
 
 
 if __name__ == "__main__":

@@ -107,13 +107,14 @@ def _pick_encoding(arr: np.ndarray) -> int:
         # sampled pre-check: real-valued feature leaves (colors, normals)
         # are fractional almost everywhere, so a 1k-element probe rejects
         # them without paying a full floor() pass over megabytes
-        head = arr.ravel()[:1024]
-        if np.any(head != np.floor(head)):
-            return _RAW32
-        mn, mx = float(arr.min()), float(arr.max())
-        if (0.0 <= mn and mx <= 255.0
-                and not np.any(arr != np.floor(arr))):
-            return _U8F
+        with np.errstate(invalid="ignore"):  # NaN compares are the reject
+            head = arr.ravel()[:1024]
+            if np.any(head != np.floor(head)):
+                return _RAW32
+            mn, mx = float(arr.min()), float(arr.max())
+            if (0.0 <= mn and mx <= 255.0
+                    and not np.any(arr != np.floor(arr))):
+                return _U8F
         return _RAW32
     return _RAW32
 
