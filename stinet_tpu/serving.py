@@ -50,6 +50,7 @@ import collections
 import concurrent.futures
 import dataclasses
 import json
+import os
 import threading
 import time
 from typing import Iterable, Iterator, List, Optional, Sequence
@@ -377,7 +378,7 @@ class SceneInpainter:
         return out[info.new_id[0]]
 
     def predict_stream(self, scenes: Iterable[RawHierarchy],
-                       build_workers: int = 4,
+                       build_workers: Optional[int] = None,
                        inflight: int = 2) -> Iterator[np.ndarray]:
         """Inpaint a stream of scenes as a three-stage pipeline; yields
         per-scene valid-vertex colors in input order.
@@ -403,7 +404,15 @@ class SceneInpainter:
         only 4x by the build pool) and blocked on each scene's readback
         before dispatching the next: 751 ms/scene e2e. The packed
         pipeline's steady state is max(build/pool, one buffer transfer,
-        forward) per scene."""
+        forward) per scene.
+
+        build_workers defaults to min(4, cpu_count-1) (floor 1): the
+        prepare stage is host-CPU work, and oversubscribing a small host
+        just thrashes the GIL against the transfer thread — measured on a
+        1-core host, 4 workers made every phase ~10x worse-than-solo wall
+        time (BENCH_NOTES round 5)."""
+        if build_workers is None:
+            build_workers = max(1, min(4, (os.cpu_count() or 2) - 1))
         ex = concurrent.futures.ThreadPoolExecutor(
             max_workers=max(build_workers, 1))
         it = iter(scenes)
