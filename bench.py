@@ -83,16 +83,18 @@ PINNED_CPU_VPS = 65536 / (PINNED_CPU_MS_PER_SCENE / 1e3)
 # denominator 18738 ms doubled vs round 3 with zero torch changes —
 # ADVICE r4 flagged the stale 2339x as overstated).
 _LAST_GOOD = {
-    "value": 8180869.4,
-    "vs_baseline": round(8180869.4 / PINNED_CPU_VPS, 2),
-    "tpu_ms_per_scene": 8.01,
-    "measured": "2026-08-20 round 4 full live run (all stages: f32 "
-                "8.01 ms/scene, bf16 windowed 7.61 ms, train step "
-                "39.0 ms, stacked-scan batched B=4 30.8 ms/dispatch = "
-                "7.70 ms/scene; torch-CPU denominators observed: 18738 "
-                "ms/scene builder run, 9712 ms driver run, pinned 8 "
-                "threads median-of-3; ratio shown uses the pinned "
-                "9711.6 ms denominator; grid-surface synthetic scene)"}
+    "value": 8162125.7,
+    "vs_baseline": round(8162125.7 / PINNED_CPU_VPS, 2),
+    "tpu_ms_per_scene": 8.03,
+    "measured": "2026-08-21 round 5 full live run, idle 1-core host (all "
+                "stages: f32 8.03 ms/scene, bf16 windowed 7.57 ms, "
+                "hostile terrain 9.94 ms, train step 37.36 ms, "
+                "stacked-scan batched B=4 31.77 ms/dispatch = 7.94 "
+                "ms/scene, stream e2e 791.7 ms/scene HOST-CPU-bound on "
+                "the 1-core box — device pipeline fully hidden, "
+                "d2h_wait 0.08 ms; torch-CPU 10053 ms/scene pinned 8 "
+                "threads median-of-3; ratio uses the pinned 9711.6 ms "
+                "denominator; grid-surface synthetic scene)"}
 
 
 def _deadline():
