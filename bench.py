@@ -775,18 +775,41 @@ def main():
     print(_stale_line("printed at start as a timeout-kill fallback; "
                       "superseded by any later line"), flush=True)
 
+    def _flagship_landed(lines):
+        """A live line at the full V (not the small-V pathfinder): the
+        measurement the round artifact is judged on."""
+        for ln in lines:
+            d = json.loads(ln).get("detail", {})
+            if (not d.get("stale") and not d.get("pathfinder")
+                    and d.get("V") == V):
+                return True
+        return False
+
     last_error = "wall budget exhausted before any attempt"
-    for attempt in range(2):
+    any_printed = False
+    for attempt in range(3):
         started = time.time()
         if _deadline() - started < 60:
             break
         printed, rc, err = _run_worker_streaming(_deadline() - 5)
-        if printed:
-            return  # live lines already emitted; last one is the result
+        any_printed = any_printed or bool(printed)
+        if _flagship_landed(printed):
+            return  # the headline measurement is in; later lines optional
+        # worker died before the flagship stage (the tunnel's sporadic
+        # worker-crash class eats ~half of first large dispatches —
+        # BENCH_NOTES round 5). A pathfinder-only run is NOT a result:
+        # retry while budget remains; the fresh worker's own pathfinder
+        # absorbs the post-crash recovery.
         last_error = f"worker rc={rc}: {err}"
-        if rc is None or rc < 0 or time.time() - started > 120:
-            break  # killed at deadline / long run: no budget for a retry
-    print(_stale_line(f"no live measurement: {last_error}"), flush=True)
+        if rc is None or rc < 0:
+            break  # killed at the deadline: no budget for a retry
+    # no flagship line landed: re-print the last-good FULL-V line so the
+    # driver's "last parseable line" is the validated flagship number, not
+    # a small-V pathfinder measurement
+    note = ("flagship stage did not land live "
+            + ("(pathfinder-only run)" if any_printed else
+               f"(no live lines: {last_error})"))
+    print(_stale_line(note), flush=True)
 
 
 if __name__ == "__main__":
