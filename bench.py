@@ -89,10 +89,10 @@ _LAST_GOOD = {
     "measured": "2026-08-21 round 5 full live run, idle 1-core host (all "
                 "stages: f32 8.03 ms/scene, bf16 windowed 7.57 ms, "
                 "hostile terrain 9.94 ms, train step 37.36 ms, "
-                "stacked-scan batched B=4 31.77 ms/dispatch = 7.94 "
-                "ms/scene, stream e2e 791.7 ms/scene HOST-CPU-bound on "
+                "stacked-scan batched B=4 30.73 ms/dispatch = 7.68 "
+                "ms/scene, stream e2e 240.5 ms/scene HOST-CPU-bound on "
                 "the 1-core box — device pipeline fully hidden, "
-                "d2h_wait 0.08 ms; torch-CPU 10053 ms/scene pinned 8 "
+                "d2h_wait 0.07 ms; torch-CPU 10053 ms/scene pinned 8 "
                 "threads median-of-3; ratio uses the pinned 9711.6 ms "
                 "denominator; grid-surface synthetic scene)"}
 
