@@ -116,28 +116,32 @@ def build_scene(seed=0):
 
 
 def build_scene_of(kind, seed=0):
+    """Scenes are deterministic in (kind, V, seed) and pickle-cached
+    repo-locally (gitignored, like .jax_cache): the QEM ladder costs
+    60-90 s per hostile scene and even the grid builder costs ~10 s/scene
+    on a 1-core host — the batched+stream stages need 11 scenes, which
+    would eat the driver's 480 s budget uncached."""
+    import pickle
+    cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench_scenes")
+    os.makedirs(cdir, exist_ok=True)
+    cache = os.path.join(cdir, f"{kind}_v{V}_s{seed}.pkl")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return pickle.load(f)
     if kind in ("sphere", "terrain"):
-        import pickle
         from stinet_tpu.utils.hostile import hostile_scene
-        # repo-local (gitignored) cache, like .jax_cache: /tmp gets cleaned
-        # between the builder's warm run and the driver's round-end run
-        cdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            ".bench_scenes")
-        os.makedirs(cdir, exist_ok=True)
-        cache = os.path.join(cdir, f"{kind}_v{V}_s{seed}.pkl")
-        if os.path.exists(cache):
-            with open(cache, "rb") as f:
-                return pickle.load(f)
         scene = hostile_scene(num_vertices=V, kind=kind, seed=seed,
                               dilation_dists=(2, 4, 8, 16))
-        tmp = f"{cache}.{os.getpid()}"
-        with open(tmp, "wb") as f:
-            pickle.dump(scene, f)
-        os.replace(tmp, cache)  # atomic: concurrent attempts see all-or-none
-        return scene
-    from stinet_tpu.utils.synthetic import synthetic_scene
-    return synthetic_scene(num_vertices=V, levels=3, seed=seed,
-                           dilation_dists=(2, 4, 8, 16))
+    else:
+        from stinet_tpu.utils.synthetic import synthetic_scene
+        scene = synthetic_scene(num_vertices=V, levels=3, seed=seed,
+                                dilation_dists=(2, 4, 8, 16))
+    tmp = f"{cache}.{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(scene, f)
+    os.replace(tmp, cache)  # atomic: concurrent attempts see all-or-none
+    return scene
 
 
 def bench_tpu_stages(scene, terrain_fut=None):
