@@ -204,6 +204,22 @@ def merge_widths_across_hosts(widths):
     return {k: int(v) for k, v in zip(keys, np.max(gathered, axis=0))}
 
 
+def sum_array_across_hosts(arr):
+    """Elementwise sum of a same-shape numeric array across processes
+    (identity single-process). Used to merge per-host metric accumulators
+    (e.g. the full-scene confusion matrix) into one GLOBAL value every
+    host can log identically. Must be called in the same program order on
+    every host — it runs a collective; call it UNCONDITIONALLY (a host
+    with nothing to contribute passes zeros), never behind data-dependent
+    gates, or the processes deadlock."""
+    if jax.process_count() <= 1:
+        return np.asarray(arr)
+    from jax.experimental import multihost_utils
+    gathered = multihost_utils.process_allgather(
+        np.asarray(arr, np.float64))
+    return np.asarray(gathered).sum(axis=0)
+
+
 def mean_scalar_metrics(log, weight=1.0):
     """Weighted-average every float value of an epoch-log dict across hosts
     so monitoring decisions (best-checkpoint, early stopping, LR plateau)

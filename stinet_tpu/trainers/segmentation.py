@@ -366,9 +366,10 @@ class GraphSegmentationTrainer(BaseTrainer):
             if val_ds is None:
                 continue
             # Full-resolution projection rows: stacked preds are [B, V]
-            # (this host's local scenes via host_local_block — multi-host,
-            # full_scene_mean_iou covers the local shard); concatenated
-            # preds are flat [V] and only single-scene batches project.
+            # (this host's local scenes via host_local_block; the per-host
+            # confusion matrices are summed across hosts below, so the
+            # logged full_scene_mean_iou is GLOBAL); concatenated preds
+            # are flat [V] and only single-scene batches project.
             if self._stacked:
                 from stinet_tpu.parallel.multihost import host_local_block
                 # drop tail-repeat rows (weight 0) from the projection too
@@ -403,16 +404,23 @@ class GraphSegmentationTrainer(BaseTrainer):
         log["mean_iou"] = float(miou)
         log["mean_precision"] = float(mprec)
         log["overall_accuracy"] = iou.overall_accuracy()
-        if have_full:
+        from stinet_tpu.parallel.multihost import (
+            process_count, sum_array_across_hosts)
+        if process_count() > 1 and self._stacked:
+            # multi-process, each host projects only its local scene shard
+            # — sum the confusion matrices across hosts so the logged
+            # metric is GLOBAL and the key set host-uniform (ADVICE r4).
+            # The collective runs UNCONDITIONALLY: a host whose local rows
+            # were all tail repeats contributes zeros instead of dropping
+            # the key (which deadlocked/raised in mean_scalar_metrics).
+            gconf = sum_array_across_hosts(full_iou.conf_metric.conf)
+            if gconf.sum() > 0:
+                full_iou.conf_metric.conf = gconf
+                _, full_miou = full_iou.value()
+                log["full_scene_mean_iou"] = float(full_miou)
+        elif have_full:
             _, full_miou = full_iou.value()
-            # multi-process, the projection loop only sees this host's
-            # local scene shard — tag the metric so it can never be
-            # mistaken for (or compared against) the global single-process
-            # value (ADVICE r4)
-            from stinet_tpu.parallel.multihost import process_count
-            key = ("full_scene_mean_iou" if process_count() <= 1
-                   else "full_scene_mean_iou_local")
-            log[key] = float(full_miou)
+            log["full_scene_mean_iou"] = float(full_miou)
         for i, name in enumerate(CLASS_LABELS[:self.num_classes]):
             if not np.isnan(per_class[i]):
                 self.writer.set_step(epoch - 1, f"iou_{name}", quiet=True)
