@@ -479,22 +479,30 @@ def replicate_to_mesh(mesh, tree):
 
 
 def place_stacked(mesh, stacked_graph):
-    """Place a stacked batch (leading scene axis on every leaf): plain
-    device_put without a mesh; scene axis over `data` with one (incl. the
-    multi-host stitch, parallel/multihost.py:place_stacked_graph)."""
+    """Place a stacked batch (leading scene axis on every leaf): packed
+    single-buffer transfer without a mesh (see place_graph_on_mesh); scene
+    axis over `data` with one (incl. the multi-host stitch,
+    parallel/multihost.py:place_stacked_graph)."""
     if mesh is None:
-        return jax.device_put(stacked_graph)
+        from stinet_tpu.transfer import device_put_packed
+        return device_put_packed(stacked_graph, compress_indices=False)
     from stinet_tpu.parallel.multihost import place_stacked_graph
     return place_stacked_graph(mesh, stacked_graph)
 
 
 def place_graph_on_mesh(mesh, graph):
-    """Shard a batch graph over the mesh's `data` axis; identity when mesh
-    is None. Multi-host, each process passes its LOCAL batch and the
-    leaves are stitched into global arrays spanning all hosts
-    (parallel/multihost.py:global_graph_from_local; a plain device_put
-    single-process)."""
+    """Shard a batch graph over the mesh's `data` axis. Without a mesh,
+    place it through the PACKED single-buffer transfer
+    (stinet_tpu/transfer.py): a padded batch is ~77 leaves, and per-leaf
+    transfer calls dominate the per-step H2D cost on call-expensive
+    interconnects (measured on the tunnel: ~77 calls/batch vs one;
+    bench_input_pipeline.py). compress_indices=False keeps the host-side
+    pack a pure concatenation (~4 ms) so PCIe hosts, where per-call cost
+    is tiny, pay nothing for the change. Multi-host, each process passes
+    its LOCAL batch and the leaves are stitched into global arrays
+    spanning all hosts (parallel/multihost.py:global_graph_from_local)."""
     if mesh is None:
-        return graph
+        from stinet_tpu.transfer import device_put_packed
+        return device_put_packed(graph, compress_indices=False)
     from stinet_tpu.parallel.multihost import global_graph_from_local
     return global_graph_from_local(mesh, graph)
