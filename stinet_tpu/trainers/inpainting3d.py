@@ -18,7 +18,7 @@ from stinet_tpu.models.factory import define_G, count_parameters
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
     TrainState, build_optimizer, step_lr, make_inpainting_steps,
-    make_stacked_inpainting_steps, host_metrics,
+    make_stacked_inpainting_steps, host_metrics, iter_placed,
     maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh,
     place_stacked)
 
@@ -127,12 +127,14 @@ class Inpainting3DTrainer(BaseTrainer):
         loader = self.data_loader.train_loader
         len_epoch = len(loader)
         from stinet_tpu.utils.profiling import device_memory_stats
-        for batch_idx, (graph, names) in enumerate(loader):
+        # iter_placed: batch i+1's packed H2D overlaps batch i's step +
+        # metric sync on a background thread (single-device only)
+        for batch_idx, (graph, names) in enumerate(iter_placed(
+                loader, self._place_graph, overlap=self._mesh is None)):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
             for k, v in device_memory_stats().items():
                 self.train_metrics.update(k, v)
-            self.state, metrics = self._train_step(
-                self.state, self._place_graph(graph), lr)
+            self.state, metrics = self._train_step(self.state, graph, lr)
             m = host_metrics(metrics)
             for k, v in m.items():
                 self.train_metrics.update(k, v)
@@ -153,9 +155,10 @@ class Inpainting3DTrainer(BaseTrainer):
         self.valid_metrics.reset()
         loader = self.data_loader.val_loader
         len_epoch = len(loader)
-        for batch_idx, (graph, names) in enumerate(loader):
+        for batch_idx, (graph, names) in enumerate(iter_placed(
+                loader, self._place_graph, overlap=self._mesh is None)):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx, "valid")
-            metrics, _ = self._eval_step(self.state, self._place_graph(graph))
+            metrics, _ = self._eval_step(self.state, graph)
             for k, v in host_metrics(metrics).items():
                 self.valid_metrics.update(k, v)
         self.writer.set_step(epoch - 1, "epoch_valid", quiet=True)

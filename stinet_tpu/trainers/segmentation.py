@@ -19,7 +19,7 @@ from stinet_tpu.models.losses import cse_loss, cse_loss_terms
 from stinet_tpu.models.singleconvmeshnet import SingleConvMeshNet
 from stinet_tpu.trainers.base import BaseTrainer
 from stinet_tpu.trainers.graph_common import (
-    TrainState, build_optimizer, step_lr, host_metrics,
+    TrainState, build_optimizer, step_lr, host_metrics, iter_placed,
     maybe_data_mesh, replicate_to_mesh, place_graph_on_mesh, place_stacked)
 
 
@@ -322,10 +322,13 @@ class GraphSegmentationTrainer(BaseTrainer):
         lr = jnp.float32(self.lr_fn(epoch))
         loader = self.data_loader.train_loader
         len_epoch = len(loader)
-        for batch_idx, (graph, names) in enumerate(loader):
+        # iter_placed: batch i+1's packed H2D overlaps batch i's step
+        # (single-device only; graph_common.iter_placed docstring)
+        for batch_idx, (graph, names) in enumerate(iter_placed(
+                loader, self._place_graph, overlap=self._mesh is None)):
             self.writer.set_step((epoch - 1) * len_epoch + batch_idx)
             self.state, metrics, conf = self._train_step(
-                self.state, self._place_graph(graph), lr)
+                self.state, graph, lr)
             iou.add_matrix(conf)
             for k, v in host_metrics(metrics).items():
                 self.train_metrics.update(k, v)
