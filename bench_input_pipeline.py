@@ -80,6 +80,81 @@ def main():
             "n_leaves": len(leaves), "mbytes": round(mbytes, 1),
             "platform": jax.devices()[0].platform}), flush=True)
 
+    # ---- train loop: serial place->step->sync vs iter_placed overlap ----
+    # Emulates the trainer epoch with a FRESH host batch each step (the
+    # resident-graph train bench hides this). Same shapes -> one compile.
+    import dataclasses
+
+    import numpy as np
+    import optax
+
+    from stinet_tpu.models.factory import define_G
+    from stinet_tpu.trainers.graph_common import (
+        build_optimizer, inpainting_loss, iter_placed)
+
+    # one build, three content-perturbed copies: real loaders pin widths
+    # via bucket signatures/ratchets; differing per-seed table widths
+    # would spuriously recompile the AOT step here
+    base = build_hierarchical_graph([build_scene_of("grid", 0)])
+    graphs = [dataclasses.replace(base, x=base.x + np.float32(i) * 1e-6)
+              for i in range(3)]
+    model = define_G(input_nc=10, output_nc=3, ngf=64, n_blocks=9,
+                     dilations=[1, 1, 1, 2, 4, 8, 16, 1, 1],
+                     norm="instance", pooling_type="max", n_levels=2,
+                     n_repeated_io_convs=1,
+                     filter_type="edgeconvtransinv", dtype="float32")
+    model = dataclasses.replace(model, remat_io_blocks=False)
+    g0 = device_put_packed(graphs[0], compress_indices=False)
+    params = jax.device_put(
+        jax.jit(model.init)(jax.random.key(0), g0)["params"])
+    tx, lr = build_optimizer({"type": "Adam",
+                              "args": {"lr": 7e-5, "amsgrad": True}})
+    opt_state = jax.device_put(tx.init(params))
+    vmask0 = g0.levels[0].vertex_mask()
+
+    def step_fn(p, o, g):
+        def lf(pp):
+            out = model.apply({"params": pp}, g)
+            return inpainting_loss(out, g.color, g.mask, vmask0, True)[0]
+        loss, grads = jax.value_and_grad(lf)(p)
+        upd, o = tx.update(grads, o, p)
+        upd = jax.tree.map(lambda u: u * jnp.float32(lr), upd)
+        return optax.apply_updates(p, upd), o, loss
+
+    absd = lambda t: jax.tree.map(  # noqa: E731 — AOT compile/dispatch
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)), t)
+    step = jax.jit(step_fn).lower(absd(params), absd(opt_state),
+                                  absd(g0)).compile()
+    place = lambda g: device_put_packed(g, compress_indices=False)  # noqa
+
+    n_steps = max(2 * ITERS, 12)
+
+    def run_serial():
+        p, o = params, opt_state
+        for i in range(n_steps):
+            g = place(graphs[i % len(graphs)])
+            p, o, loss = step(p, o, g)
+            float(loss)  # the trainer's per-step metric sync
+        return p
+
+    def run_overlap():
+        p, o = params, opt_state
+        batches = ((graphs[i % len(graphs)], None) for i in range(n_steps))
+        for g, _ in iter_placed(batches, place, overlap=True):
+            p, o, loss = step(p, o, g)
+            float(loss)
+        return p
+
+    for name, fn in (("train_serial", run_serial),
+                     ("train_overlap", run_overlap)):
+        fn()  # warm
+        t0 = time.perf_counter()
+        fn()
+        dt = (time.perf_counter() - t0) / n_steps
+        print(json.dumps({"variant": name,
+                          "ms_per_step": round(1e3 * dt, 2),
+                          "steps": n_steps}), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -499,6 +499,17 @@ def iter_placed(batches, place_fn, overlap=True, buffer_size=1):
     yield from PrefetchIterator(placed, buffer_size=buffer_size)
 
 
+def _pack_compress():
+    """STINET_PACK_COMPRESS=1 turns on the sub-32-bit wire encodings for
+    trainer batch placement. Default off: the encode scan costs ~8 ms of
+    host CPU per batch, a loss on PCIe hosts where transfer bytes are
+    nearly free — but on byte-expensive interconnects it measured -29%
+    per batch (bench_input_pipeline.py: packed_comp 253 vs packed_raw
+    357 ms median on the tunnel)."""
+    import os
+    return os.environ.get("STINET_PACK_COMPRESS", "0") == "1"
+
+
 def place_stacked(mesh, stacked_graph):
     """Place a stacked batch (leading scene axis on every leaf): packed
     single-buffer transfer without a mesh (see place_graph_on_mesh); scene
@@ -506,7 +517,8 @@ def place_stacked(mesh, stacked_graph):
     parallel/multihost.py:place_stacked_graph)."""
     if mesh is None:
         from stinet_tpu.transfer import device_put_packed
-        return device_put_packed(stacked_graph, compress_indices=False)
+        return device_put_packed(stacked_graph,
+                                 compress_indices=_pack_compress())
     from stinet_tpu.parallel.multihost import place_stacked_graph
     return place_stacked_graph(mesh, stacked_graph)
 
@@ -519,11 +531,13 @@ def place_graph_on_mesh(mesh, graph):
     interconnects (measured on the tunnel: ~77 calls/batch vs one;
     bench_input_pipeline.py). compress_indices=False keeps the host-side
     pack a pure concatenation (~4 ms) so PCIe hosts, where per-call cost
-    is tiny, pay nothing for the change. Multi-host, each process passes
+    is tiny, pay nothing for the change (STINET_PACK_COMPRESS=1 adds the
+    sub-32-bit wire encodings for byte-expensive interconnects —
+    _pack_compress docstring). Multi-host, each process passes
     its LOCAL batch and the leaves are stitched into global arrays
     spanning all hosts (parallel/multihost.py:global_graph_from_local)."""
     if mesh is None:
         from stinet_tpu.transfer import device_put_packed
-        return device_put_packed(graph, compress_indices=False)
+        return device_put_packed(graph, compress_indices=_pack_compress())
     from stinet_tpu.parallel.multihost import global_graph_from_local
     return global_graph_from_local(mesh, graph)
