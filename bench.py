@@ -540,10 +540,15 @@ def bench_torch_cpu(scene, iters):
 def _result_line(value, vs_baseline, detail):
     # every line carries the PINNED-denominator ratio alongside whatever
     # basis vs_baseline used (live host measurement or cached) — the live
-    # torch-CPU denominator swings ~2x with host load (VERDICT r4 item 7)
-    detail = dict(detail,
-                  vs_baseline_pinned=round(value / PINNED_CPU_VPS, 2),
-                  pinned_cpu_ms_per_scene=PINNED_CPU_MS_PER_SCENE)
+    # torch-CPU denominator swings ~2x with host load (VERDICT r4 item 7).
+    # The pinned denominator was measured at V=65536; at any other V
+    # (incl. the V=16384 pathfinder) a vps-vs-vps ratio against it is not
+    # the pinned-config comparison the key claims, so it is omitted.
+    detail = dict(detail)
+    if detail.get("V", V) == 65536 and not detail.get("pathfinder"):
+        detail.update(
+            vs_baseline_pinned=round(value / PINNED_CPU_VPS, 2),
+            pinned_cpu_ms_per_scene=PINNED_CPU_MS_PER_SCENE)
     return json.dumps({
         "metric": METRIC, "value": value, "unit": "vertices/s",
         "vs_baseline": vs_baseline, "detail": detail})

@@ -30,6 +30,7 @@ class PrefetchIterator:
     def __init__(self, it, buffer_size: int = 2):
         self._q = queue.Queue(maxsize=max(1, buffer_size))
         self._err = None
+        self._stop = False
         self._thread = threading.Thread(
             target=self._run, args=(it,), daemon=True)
         self._thread.start()
@@ -37,11 +38,42 @@ class PrefetchIterator:
     def _run(self, it):
         try:
             for item in it:
-                self._q.put(item)
+                # timeout-put instead of a blocking put so close() can
+                # cancel a producer parked on a full queue (an abandoned
+                # epoch iterator would otherwise pin the buffered items —
+                # device arrays, when the producer places batches — for
+                # the process lifetime)
+                while not self._stop:
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except BaseException as e:  # re-raised at the consumer's next()
             self._err = e
         finally:
-            self._q.put(_DONE)
+            # _DONE must reach the consumer even when the queue is full
+            # (buffer filled faster than it drains): block with the same
+            # stop-aware polling as above — a dropped sentinel leaves the
+            # consumer waiting in q.get() forever
+            while not self._stop:
+                try:
+                    self._q.put(_DONE, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self):
+        """Cancel the producer and release everything buffered. Safe to
+        call multiple times and after exhaustion."""
+        self._stop = True
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
 
     def __iter__(self):
         return self

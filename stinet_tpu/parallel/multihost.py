@@ -215,9 +215,18 @@ def sum_array_across_hosts(arr):
     if jax.process_count() <= 1:
         return np.asarray(arr)
     from jax.experimental import multihost_utils
-    gathered = multihost_utils.process_allgather(
-        np.asarray(arr, np.float64))
-    return np.asarray(gathered).sum(axis=0)
+    # process_allgather canonicalizes float64 -> float32 under the default
+    # jax_enable_x64=False, which would silently round counts past 2^24.
+    # Transport each value as TWO float32 planes (hi = f32(v),
+    # lo = f32(v - hi): exact for |v| < 2^48 — two 24-bit mantissas) and
+    # do the actual summation host-side in float64, which is exact for
+    # integer-valued accumulators like confusion matrices.
+    v = np.asarray(arr, np.float64)
+    hi = v.astype(np.float32)
+    lo = (v - hi.astype(np.float64)).astype(np.float32)
+    gathered = multihost_utils.process_allgather(np.stack([hi, lo]))
+    g = np.asarray(gathered, np.float64)  # [P, 2, ...]
+    return g.sum(axis=(0, 1))
 
 
 def mean_scalar_metrics(log, weight=1.0):

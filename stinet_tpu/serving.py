@@ -427,10 +427,18 @@ class SceneInpainter:
                 [s], pad_multiple=self.pad_multiple,
                 geometric=self.geometric, windowed=self.windowed))
             t1 = time.perf_counter()
-            buf, spec = pack_pytree(graph, live=self._live_for(graph))
+            try:
+                buf, spec = pack_pytree(graph, live=self._live_for(graph))
+            except TypeError:
+                # non-4-byte leaf: same per-leaf fallback predict()'s
+                # device_put_packed takes — slower, never wrong
+                buf, spec = graph, None
             stats["build_ms"].append((t1 - t0) * 1e3)
             stats["pack_ms"].append((time.perf_counter() - t1) * 1e3)
-            stats["wire_mbytes"].append(buf.nbytes / 1e6)
+            stats["wire_mbytes"].append(
+                buf.nbytes / 1e6 if spec is not None else
+                sum(x.nbytes for x in jax.tree_util.tree_leaves(buf))
+                / 1e6)
             return buf, spec
 
         def submit_next():
@@ -444,9 +452,13 @@ class SceneInpainter:
             buf, spec = fut.result()
             sharding = self._replicated if self.mesh is not None else None
             t0 = time.perf_counter()
-            graph = unpack_on_device(
-                jax.device_put(buf, sharding) if sharding is not None
-                else jax.device_put(buf), spec, sharding=sharding)
+            if spec is None:  # pack fallback: buf IS the host graph
+                graph = (jax.device_put(buf, sharding)
+                         if sharding is not None else jax.device_put(buf))
+            else:
+                graph = unpack_on_device(
+                    jax.device_put(buf, sharding) if sharding is not None
+                    else jax.device_put(buf), spec, sharding=sharding)
             t1 = time.perf_counter()
             out = self._fwd(self.params, graph)[:s.num_vertices[0]]
             if hasattr(out, "copy_to_host_async"):

@@ -491,12 +491,23 @@ def iter_placed(batches, place_fn, overlap=True, buffer_size=1):
     (~20 MB device HBM each) are live at once. Multi-host/mesh placement
     stitches global arrays in collective program order, so it stays on
     the caller's thread (overlap=False)."""
-    placed = ((place_fn(g), names) for g, names in batches)
+    src = iter(batches)
+    placed = ((place_fn(g), names) for g, names in src)
     if not overlap:
         yield from placed
         return
     from stinet_tpu.data.prefetch import PrefetchIterator
-    yield from PrefetchIterator(placed, buffer_size=buffer_size)
+    it = PrefetchIterator(placed, buffer_size=buffer_size)
+    try:
+        yield from it
+    finally:
+        # consumer abandoned the epoch (step raised, dry_run break):
+        # cancel the placement producer AND the loader's own prefetch
+        # (when it exposes close) so buffered batches — device HBM here,
+        # host graphs there — are released instead of pinned for the
+        # process lifetime
+        it.close()
+        getattr(src, "close", lambda: None)()
 
 
 def _pack_compress():

@@ -79,15 +79,6 @@ class PackSpec(NamedTuple):
     total_words: int
 
 
-def _u16_encodable(arr: np.ndarray) -> bool:
-    if arr.dtype != np.int32 or arr.size == 0:
-        return False
-    # cheap static gate first: a table indexing into an address space that
-    # cannot fit uint16 never qualifies, skip the min/max scan
-    mn, mx = int(arr.min()), int(arr.max())
-    return mn >= -1 and mx <= 65534
-
-
 def _pick_encoding(arr: np.ndarray) -> int:
     """One min/max(/integrality) scan choosing the tightest exact wire
     encoding for `arr` (module docstring table)."""
@@ -113,7 +104,10 @@ def _pick_encoding(arr: np.ndarray) -> int:
                 return _RAW32
             mn, mx = float(arr.min()), float(arr.max())
             if (0.0 <= mn and mx <= 255.0
-                    and not np.any(arr != np.floor(arr))):
+                    and not np.any(arr != np.floor(arr))
+                    # -0.0 passes every check above but would round-trip
+                    # to +0.0, breaking the bit-identity contract
+                    and not np.any(np.signbit(arr))):
                 return _U8F
         return _RAW32
     return _RAW32

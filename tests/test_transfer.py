@@ -46,9 +46,10 @@ def test_roundtrip_u16_index_tables(rng):
         "empty": np.zeros((0, 4), np.int32),
     }
     buf, spec = pack_pytree(tables)
-    # all four should have taken the u16 encoding (enc=1)
-    assert all(s.enc == 1 for s in spec.leaves if s.nwords or True
-               ) or True  # empty leaf may encode either way
+    # every non-empty table must take the u16 encoding (enc=1); the empty
+    # leaf stays raw32 (no scan on zero elements)
+    assert all(s.enc == 1 for s in spec.leaves
+               if np.prod(s.shape) > 0)
     out = unpack_on_device(jax.device_put(buf), spec)
     _assert_tree_bitequal(tables, out)
     # and the compressed buffer is really smaller than raw packing
@@ -111,6 +112,8 @@ def test_u8f_disqualified_stays_raw():
         "too_big": np.array([0.0, 256.0], np.float32),
         "nan": np.array([np.nan, 1.0], np.float32),
         "inf": np.array([np.inf, 1.0], np.float32),
+        # -0.0 is integral and in [0, 255] but u8 would drop its sign bit
+        "neg_zero": np.array([-0.0, 1.0, 255.0], np.float32),
     }
     buf, spec = pack_pytree(tables)
     assert all(s.enc == 0 for s in spec.leaves)
